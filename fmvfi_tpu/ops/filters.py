@@ -1,0 +1,122 @@
+"""On-device image filters for the uncertainty maps.
+
+The reference computes its fusion uncertainty maps with *CPU scipy* per sample
+(`gaussian_filter(h, 5)` and `median_filter(f, size=50)` at
+/root/reference/src/fusion_net/trainer.py:134,143) — a host round-trip in the
+middle of the pipeline.  Here:
+
+- `gaussian_blur` is a separable conv with scipy-identical taps
+  (truncate=4.0, mode='reflect' == numpy 'symmetric' padding).
+- `median_filter` is a histogram/CDF rank filter built from integral images:
+  values are binned into `nbins` levels, per-bin window counts come from 2-D
+  cumulative sums (O(nbins * H * W) total, chunked to bound memory), and the
+  window median is read off the per-pixel CDF with sub-bin interpolation.
+  A 50x50 sliding sort would be ~2500x more work per pixel; this is the
+  TPU-shaped equivalent of scipy's rank filter (max deviation ~range/nbins).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _gaussian_taps(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage._gaussian_kernel1d: exp(-x^2/2s^2), normalized."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, truncate: float = 4.0):
+    """Separable gaussian over the last two axes of (..., H, W), reflect-sym
+    boundary, scipy.ndimage.gaussian_filter parity."""
+    taps = _gaussian_taps(float(sigma), float(truncate))
+    r = (len(taps) - 1) // 2
+
+    def conv_last(x):  # filter along the last axis
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="symmetric")
+        out = taps[0] * jax.lax.slice_in_dim(xp, 0, x.shape[-1], axis=x.ndim - 1)
+        for t in range(1, len(taps)):
+            out = out + taps[t] * jax.lax.slice_in_dim(
+                xp, t, t + x.shape[-1], axis=x.ndim - 1
+            )
+        return out
+
+    img = conv_last(img)
+    img = jnp.swapaxes(conv_last(jnp.swapaxes(img, -1, -2)), -1, -2)
+    return img
+
+
+def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Sliding size x size window sums over the first two axes of an already
+    padded (Hp, Wp, C) array, via integral images.  Output (Hp-size+1, ...)."""
+    cs = jnp.cumsum(jnp.cumsum(x, axis=0), axis=1)
+    cs = jnp.pad(cs, [(1, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))
+    h = x.shape[0] - size + 1
+    w = x.shape[1] - size + 1
+    return (
+        cs[size : size + h, size : size + w]
+        - cs[size : size + h, 0:w]
+        - cs[0:h, size : size + w]
+        + cs[0:h, 0:w]
+    )
+
+
+def median_filter(
+    img: jnp.ndarray, size: int = 50, nbins: int = 1024, chunk: int = 32
+) -> jnp.ndarray:
+    """scipy.ndimage.median_filter(img, size, mode='reflect') equivalent over
+    the last two axes of (..., H, W).
+
+    scipy returns the sorted window element at index n//2 (0-based, upper
+    median for even n=size*size).  We bin values per sample, box-count each bin
+    with integral images, and locate the first bin whose cumulative count
+    reaches rank = n//2 + 1, interpolating inside the bin."""
+    lead = img.shape[:-2]
+    flat = img.reshape((-1,) + img.shape[-2:])
+
+    # scipy's window for even size spans offsets [-size//2, size - size//2 - 1]
+    lpad = size // 2
+    rpad = size - lpad - 1
+    rank = (size * size) // 2 + 1
+
+    def one(xs: jnp.ndarray) -> jnp.ndarray:  # (H, W)
+        lo = jnp.min(xs)
+        hi = jnp.max(xs)
+        width = jnp.maximum(hi - lo, 1e-20)
+        q = jnp.clip(
+            ((xs - lo) / width * nbins).astype(jnp.int32), 0, nbins - 1
+        )
+        qp = jnp.pad(q, [(lpad, rpad), (lpad, rpad)], mode="symmetric")
+
+        h, w = xs.shape
+        cum_prev = jnp.zeros((h, w), jnp.float32)  # CDF up to previous chunk
+        med_bin = jnp.zeros((h, w), jnp.float32)  # number of bins with cum < rank
+        c_below = jnp.zeros((h, w), jnp.float32)  # cum count strictly below med bin
+        c_in = jnp.zeros((h, w), jnp.float32)  # count inside the median bin
+
+        for c0 in range(0, nbins, chunk):
+            bins = np.arange(c0, min(c0 + chunk, nbins), dtype=np.int32)
+            onehot = (qp[:, :, None] == bins[None, None, :]).astype(jnp.float32)
+            bs = _box_sum(onehot, size)  # (h, w, nchunk)
+            cums = cum_prev[:, :, None] + jnp.cumsum(bs, axis=-1)
+            below = cums < rank
+            med_bin = med_bin + jnp.sum(below, axis=-1)
+            c_below = c_below + jnp.sum(bs * below, axis=-1)
+            prev = jnp.concatenate([cum_prev[:, :, None], cums[:, :, :-1]], axis=-1)
+            first_hit = (~below) & (prev < rank)
+            c_in = c_in + jnp.sum(bs * first_hit, axis=-1)
+            cum_prev = cums[:, :, -1]
+
+        frac = (rank - c_below - 0.5) / jnp.maximum(c_in, 1.0)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        return lo + width * (med_bin + frac) / nbins
+
+    out = jax.vmap(one)(flat)
+    return out.reshape(img.shape)

@@ -1,0 +1,267 @@
+"""Complex steerable pyramid (Simoncelli/Freeman), TPU-native.
+
+The reference consumes an *external, unvendored* package
+(`steerable.SCFpyr_PyTorch`, imported at /root/reference/src/train/pyramid.py:7)
+for its core signal decomposition.  This module re-derives that math from the
+original construction (Portilla & Simoncelli) as pure JAX functions:
+
+- FFT-domain decomposition with a radial raised-cosine high/low split,
+  `nbands` oriented angular masks per level, and frequency-domain
+  downsampling by `scale_factor` (sqrt(2) half-octave levels in this repo).
+- All filter masks are precomputed as static numpy constants per input shape
+  (XLA static-shape world: one compiled program per resolution bucket), so a
+  decompose/reconstruct is nothing but fft2 -> mask multiplies -> ifft2 that
+  XLA fuses freely.
+
+Conventions (shape contract mirrors /root/reference/src/train/pyramid.py:48-78):
+- `decompose(img)` takes (N, H, W) float32 and returns `Decomp` with
+  - high:  (N, H, W)      real highpass residual
+  - low:   (N, hL, wL)    real lowpass residual
+  - phase: tuple over levels, level 0 = FINEST, each (N, nbands, h_l, w_l)
+  - amplitude: same shapes as phase
+  phase = angle(z) (== imag(log z) at pyramid.py:64), amplitude = abs(z).
+- `reconstruct(decomp)` inverts it (tight-frame reconstruction).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Decomp(NamedTuple):
+    """Pyramid decomposition pytree (the reference's DecompValues,
+    /root/reference/src/train/utils.py:10-16, re-laid-out as (N, nbands, h, w))."""
+
+    high: jnp.ndarray
+    low: jnp.ndarray
+    phase: Tuple[jnp.ndarray, ...]  # level 0 = finest
+    amplitude: Tuple[jnp.ndarray, ...]
+
+
+class PyramidFilters(NamedTuple):
+    """Static (numpy) filter bank for one (H, W, height, nbands, scale) bucket."""
+
+    height: int
+    nbands: int
+    scale_factor: float
+    in_shape: Tuple[int, int]
+    hi0: np.ndarray  # (H, W) float32
+    lo0: np.ndarray  # (H, W) float32
+    band_masks: Tuple[np.ndarray, ...]  # per level: (nbands, h_l, w_l) complex64
+    synth_masks: Tuple[np.ndarray, ...]  # synthesis-side band masks (complex64)
+    lo_masks: Tuple[np.ndarray, ...]  # per level: (h_{l+1}, w_{l+1}) float32
+    crops: Tuple[Tuple[int, int, int, int], ...]  # per level (r0, r1, c0, c1)
+    level_shapes: Tuple[Tuple[int, int], ...]  # band-level spatial shapes
+    low_shape: Tuple[int, int]
+
+
+def max_pyr_height(h: int, w: int) -> int:
+    """Resolution-dependent pyramid height: ceil((log2(min(H,W))-3)*2)+2.
+
+    Matches calc_pyr_height at /root/reference/src/train/utils.py:168-171
+    (12 for 256x256, 14 for 512x512, 15 for 720p)."""
+    return int(np.ceil((np.log2(min(h, w)) - 3) * 2) + 2)
+
+
+def _prepare_grid(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalized log-radius and angle grids over the fftshifted frequency plane."""
+    y = (np.arange(h) - h // 2) / (h / 2)
+    x = (np.arange(w) - w // 2) / (w / 2)
+    xv, yv = np.meshgrid(x, y)
+    angle = np.arctan2(yv, xv)
+    rad = np.sqrt(xv**2 + yv**2)
+    # avoid log(0) at DC: reuse the neighbour's radius
+    rad[h // 2, w // 2] = rad[h // 2, max(w // 2 - 1, 0)]
+    log_rad = np.log2(rad)
+    return log_rad, angle
+
+
+def _hi_mask(log_rad: np.ndarray, pos: float) -> np.ndarray:
+    """Radial raised-cosine highpass: sqrt of an rcos 0->1 transition over
+    log_rad in [pos, pos+1] (rcosFn(1, pos) then sqrt)."""
+    t = np.clip(log_rad - pos, 0.0, 1.0)
+    return np.sin(0.5 * np.pi * t).astype(np.float32)
+
+
+def _lo_mask(log_rad: np.ndarray, pos: float) -> np.ndarray:
+    t = np.clip(log_rad - pos, 0.0, 1.0)
+    return np.cos(0.5 * np.pi * t).astype(np.float32)
+
+
+def _angle_const(nbands: int) -> float:
+    order = nbands - 1
+    return (
+        (2.0 ** (2 * order))
+        * (math.factorial(order) ** 2)
+        / (nbands * math.factorial(2 * order))
+    )
+
+
+def _angle_masks(angle: np.ndarray, nbands: int) -> np.ndarray:
+    """ANALYSIS angular masks: oriented half-plane cos^(nbands-1),
+    2*sqrt(const) normalized (the analytic-signal side of the frame)."""
+    order = nbands - 1
+    const = _angle_const(nbands)
+    masks = []
+    for b in range(nbands):
+        shifted = angle - np.pi * b / nbands
+        wrapped = np.mod(shifted + np.pi, 2 * np.pi) - np.pi
+        m = (
+            2.0
+            * np.sqrt(const)
+            * (np.cos(wrapped) ** order)
+            * (np.abs(wrapped) < np.pi / 2)
+        )
+        masks.append(m.astype(np.float32))
+    return np.stack(masks, axis=0)
+
+
+def _angle_masks_synth(angle: np.ndarray, nbands: int) -> np.ndarray:
+    """SYNTHESIS angular masks: sqrt(const) * cos^(nbands-1) over the FULL
+    plane (signed, no half-plane cutoff, no factor 2).  Together with the
+    final real() the analysis/synthesis pair sums to an exact partition of
+    unity: sum_b a_b(t)*s_b(t) + mirror = 2, halved by Re{.}."""
+    order = nbands - 1
+    const = _angle_const(nbands)
+    masks = []
+    for b in range(nbands):
+        shifted = angle - np.pi * b / nbands
+        m = np.sqrt(const) * (np.cos(shifted) ** order)
+        masks.append(m.astype(np.float32))
+    return np.stack(masks, axis=0)
+
+
+def _crop_indices(dims: Tuple[int, int], scale_factor: float):
+    """Centered frequency-domain crop implementing downsampling by scale_factor.
+
+    Generalizes the factor-2 index rule of the canonical implementation:
+    new = ceil((dims-0.5)/s); start = ceil((dims+0.5)/2) - ceil((new+0.5)/2)."""
+    d = np.asarray(dims, dtype=np.float64)
+    new = np.ceil((d - 0.5) / scale_factor).astype(int)
+    start = (np.ceil((d + 0.5) / 2) - np.ceil((new + 0.5) / 2)).astype(int)
+    end = start + new
+    return (int(start[0]), int(end[0]), int(start[1]), int(end[1])), (
+        int(new[0]),
+        int(new[1]),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def make_filters(
+    h: int, w: int, height: int, nbands: int = 4, scale_factor: float = math.sqrt(2)
+) -> PyramidFilters:
+    """Build the static filter bank for input shape (h, w).
+
+    `height` counts ALL levels including the high/low residuals, so there are
+    `height - 2` oriented band levels (the reference's convention)."""
+    nlevels = height - 2
+    if nlevels < 1:
+        raise ValueError(f"height must be >= 3, got {height}")
+    log_rad, angle = _prepare_grid(h, w)
+    pos = -0.5
+    hi0 = _hi_mask(log_rad, pos)
+    lo0 = _lo_mask(log_rad, pos)
+
+    # complex factor (-i)^(nbands-1) applied to analysis band masks; synthesis
+    # uses (+i)^(nbands-1).
+    cfact = (0.0 - 1.0j) ** (nbands - 1)
+    cfact_s = (0.0 + 1.0j) ** (nbands - 1)
+
+    band_masks = []
+    synth_masks = []
+    lo_masks = []
+    crops = []
+    level_shapes = []
+    cur_log_rad, cur_angle = log_rad, angle
+    cur_dims = (h, w)
+    for _ in range(nlevels):
+        pos = pos - math.log2(scale_factor)
+        him = _hi_mask(cur_log_rad, pos)
+        ang = _angle_masks(cur_angle, nbands)
+        ang_s = _angle_masks_synth(cur_angle, nbands)
+        band_masks.append((ang * him[None]).astype(np.complex64) * cfact)
+        synth_masks.append((ang_s * him[None]).astype(np.complex64) * cfact_s)
+        level_shapes.append(cur_dims)
+
+        (r0, r1, c0, c1), new_dims = _crop_indices(cur_dims, scale_factor)
+        if min(new_dims) < 2:
+            raise ValueError(
+                f"pyramid too deep for {h}x{w}: level shape would be {new_dims}"
+            )
+        crops.append((r0, r1, c0, c1))
+        cur_log_rad = cur_log_rad[r0:r1, c0:c1]
+        cur_angle = cur_angle[r0:r1, c0:c1]
+        cur_dims = new_dims
+        lo_masks.append(_lo_mask(cur_log_rad, pos))
+
+    return PyramidFilters(
+        height=height,
+        nbands=nbands,
+        scale_factor=scale_factor,
+        in_shape=(h, w),
+        hi0=hi0,
+        lo0=lo0,
+        band_masks=tuple(band_masks),
+        synth_masks=tuple(synth_masks),
+        lo_masks=tuple(lo_masks),
+        crops=tuple(crops),
+        level_shapes=tuple(level_shapes),
+        low_shape=cur_dims,
+    )
+
+
+def _fft2s(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.fftshift(jnp.fft.fft2(x), axes=(-2, -1))
+
+
+def _ifft2s(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=(-2, -1)))
+
+
+def decompose(img: jnp.ndarray, filters: PyramidFilters) -> Decomp:
+    """(N, H, W) float -> Decomp.  Pure; jit/vmap/grad-safe."""
+    if img.shape[-2:] != filters.in_shape:
+        raise ValueError(f"image {img.shape} vs filters {filters.in_shape}")
+    dft = _fft2s(img.astype(jnp.float32))
+    high = jnp.real(_ifft2s(dft * filters.hi0))
+    lodft = dft * filters.lo0
+
+    phases, amps = [], []
+    for lvl in range(filters.height - 2):
+        band_dft = lodft[:, None, :, :] * filters.band_masks[lvl][None]
+        band = _ifft2s(band_dft)
+        # keep abs/angle paired on the same complex value; angle == imag(log z)
+        amps.append(jnp.abs(band))
+        phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
+        r0, r1, c0, c1 = filters.crops[lvl]
+        lodft = lodft[:, r0:r1, c0:c1] * filters.lo_masks[lvl]
+
+    low = jnp.real(_ifft2s(lodft))
+    return Decomp(high=high, low=low, phase=tuple(phases), amplitude=tuple(amps))
+
+
+def reconstruct(vals: Decomp, filters: PyramidFilters) -> jnp.ndarray:
+    """Decomp -> (N, H, W) float.  Inverse of `decompose` (tight frame)."""
+    nlevels = filters.height - 2
+    lodft = _fft2s(vals.low.astype(jnp.float32))
+    for lvl in reversed(range(nlevels)):
+        # upsample lowpass: re-embed into the level's grid, through the lo mask
+        r0, r1, c0, c1 = filters.crops[lvl]
+        hl, wl = filters.level_shapes[lvl]
+        n = lodft.shape[0]
+        up = jnp.zeros((n, hl, wl), dtype=lodft.dtype)
+        up = up.at[:, r0:r1, c0:c1].set(lodft * filters.lo_masks[lvl])
+
+        band = vals.amplitude[lvl] * jnp.exp(1j * vals.phase[lvl].astype(jnp.float32))
+        band_dft = _fft2s(band)
+        orient = jnp.sum(band_dft * filters.synth_masks[lvl][None], axis=1)
+        lodft = up + orient
+
+    hidft = _fft2s(vals.high.astype(jnp.float32))
+    dft = hidft * filters.hi0 + lodft * filters.lo0
+    return jnp.real(_ifft2s(dft))

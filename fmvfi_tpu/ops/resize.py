@@ -1,0 +1,77 @@
+"""Bilinear resizing and pooling with explicit corner semantics.
+
+The reference mixes torch Upsample(align_corners=False) (PhaseNet level
+upsampling, FusionNet decoder) and align_corners=True (AdaCoF U-Net heads,
+/root/reference/src/adacof/models/adacofnet.py:31,44).  To reproduce converted
+checkpoints exactly we implement both as separable gather+lerp — static
+weights, so XLA turns each axis pass into a tiny dense contraction.
+
+Layout: NHWC (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_weights(n_in: int, n_out: int, align_corners: bool):
+    """Static source indices and lerp weights for one axis."""
+    if n_in == n_out:
+        return None
+    dst = np.arange(n_out, dtype=np.float64)
+    if align_corners:
+        if n_out == 1:
+            src = np.zeros(1)
+        else:
+            src = dst * (n_in - 1) / (n_out - 1)
+    else:
+        src = (dst + 0.5) * (n_in / n_out) - 0.5
+        src = np.clip(src, 0.0, None)
+    i0 = np.floor(src).astype(np.int32)
+    i0 = np.clip(i0, 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = (src - i0).astype(np.float32)
+    return i0, i1, w
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, n_out: int, align_corners: bool):
+    n_in = x.shape[axis]
+    aw = _axis_weights(n_in, n_out, align_corners)
+    if aw is None:
+        return x
+    i0, i1, w = aw
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    wb = jnp.asarray(w).reshape(shape)
+    return x0 * (1.0 - wb) + x1 * wb
+
+
+def resize_bilinear(
+    x: jnp.ndarray, out_hw, *, align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or (..., H, W, C)) to (out_h, out_w)."""
+    out_h, out_w = out_hw
+    x = _resize_axis(x, x.ndim - 3, out_h, align_corners)
+    x = _resize_axis(x, x.ndim - 2, out_w, align_corners)
+    return x
+
+
+def upsample2x(x: jnp.ndarray, *, align_corners: bool) -> jnp.ndarray:
+    return resize_bilinear(
+        x, (x.shape[-3] * 2, x.shape[-2] * 2), align_corners=align_corners
+    )
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pooling over NHWC."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pooling over NHWC."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))

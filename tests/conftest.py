@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so sharding tests
+need no TPU (the reference's CUDA-only kernel made CPU CI impossible for them,
+/root/reference/src/adacof/cupy_module/adacof.py:356-357 — ours is portable).
+
+Note: this image force-registers an `axon` TPU platform ahead of whatever
+JAX_PLATFORMS says, so we must override via jax.config, not just the env."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
