@@ -1,0 +1,213 @@
+"""AdaCoF: kernel-estimation U-Net + deformable warp wrapper.
+
+Re-design of /root/reference/src/adacof/models/adacofnet.py and the fusion
+variant /root/reference/src/fusion_net/fusion_adacofnet.py as flax.linen NHWC
+modules.  The CuPy CUDA warp becomes `ops.adacof.adacof_warp`.
+
+KernelEstimation (adacofnet.py:12-153): 5-level conv U-Net
+(6->32->64->128->256->512, AvgPool down, bilinear-up(align_corners=True) +
+conv, additive skips), 7 heads at half resolution upsampled 2x:
+Weight1/2 (F^2, softmax), Alpha1/2, Beta1/2 (F^2, linear), Occlusion (1,
+sigmoid).
+
+AdaCoFNet.forward (fusion_adacofnet.py:172-240): reflect-pad inputs to /32,
+fixed per-channel mean shift (utility.py:86), estimate kernels, replicate-pad
+by (F-1)*d/2, warp both frames, occlusion-blend, and compute the flow
+mean/variance maps + uncertainty mask (fusion_adacofnet.py:201-213).
+
+NOT reproduced: the reference's w-padding crop bug
+(fusion_adacofnet.py:225 assigns tensorAdaCoF1 = tensorAdaCoF2) — we crop
+correctly.  The bug never triggers at /32-aligned eval resolutions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.adacof import adacof_warp, flow_stats, pad_replicate
+from ..ops.resize import avg_pool2, upsample2x
+
+# fixed RGB mean shift (utility.py:87)
+_RGB_MEAN = (0.4631, 0.4352, 0.3990)
+
+
+def module_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    return x - jnp.asarray(_RGB_MEAN, dtype=x.dtype)
+
+
+class _Basic(nn.Module):
+    c_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = nn.Conv(self.c_out, (3, 3), padding="SAME", name=f"conv{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class _Upsample(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample2x(x, align_corners=True)
+        x = nn.Conv(self.c, (3, 3), padding="SAME", name="conv")(x)
+        return nn.relu(x)
+
+
+class _SubnetOffset(nn.Module):
+    ks: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
+        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", name="conv2")(x))
+        x = upsample2x(x, align_corners=True)
+        return nn.Conv(self.ks, (3, 3), padding="SAME", name="conv3")(x)
+
+
+class _SubnetWeight(nn.Module):
+    ks: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
+        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", name="conv2")(x))
+        x = upsample2x(x, align_corners=True)
+        x = nn.Conv(self.ks, (3, 3), padding="SAME", name="conv3")(x)
+        return nn.softmax(x, axis=-1)
+
+
+class _SubnetOcclusion(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv2")(x))
+        x = upsample2x(x, align_corners=True)
+        return nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME", name="conv3")(x))
+
+
+class KernelEstimation(nn.Module):
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, f0: jnp.ndarray, f2: jnp.ndarray):
+        ks = self.kernel_size**2
+        x = jnp.concatenate([f0, f2], axis=-1)
+
+        c1 = _Basic(32, name="conv1")(x)
+        c2 = _Basic(64, name="conv2")(avg_pool2(c1))
+        c3 = _Basic(128, name="conv3")(avg_pool2(c2))
+        c4 = _Basic(256, name="conv4")(avg_pool2(c3))
+        c5 = _Basic(512, name="conv5")(avg_pool2(c4))
+
+        d5 = _Basic(512, name="deconv5")(avg_pool2(c5))
+        u5 = _Upsample(512, name="upsample5")(d5) + c5
+        d4 = _Basic(256, name="deconv4")(u5)
+        u4 = _Upsample(256, name="upsample4")(d4) + c4
+        d3 = _Basic(128, name="deconv3")(u4)
+        u3 = _Upsample(128, name="upsample3")(d3) + c3
+        d2 = _Basic(64, name="deconv2")(u3)
+        u2 = _Upsample(64, name="upsample2")(d2) + c2
+
+        w1 = _SubnetWeight(ks, name="weight1")(u2)
+        a1 = _SubnetOffset(ks, name="alpha1")(u2)
+        b1 = _SubnetOffset(ks, name="beta1")(u2)
+        w2 = _SubnetWeight(ks, name="weight2")(u2)
+        a2 = _SubnetOffset(ks, name="alpha2")(u2)
+        b2 = _SubnetOffset(ks, name="beta2")(u2)
+        occ = _SubnetOcclusion(name="occlusion")(u2)
+        return w1, a1, b1, w2, a2, b2, occ
+
+
+class AdaCoFOutputs(NamedTuple):
+    warped0: jnp.ndarray  # frame0 warped toward the middle (B,H,W,3)
+    warped2: jnp.ndarray  # frame2 warped toward the middle
+    blended: jnp.ndarray  # occlusion-blended prediction
+    uncertainty: jnp.ndarray  # flow-variance mask (B,H,W,1), in [0,1]
+    occlusion: jnp.ndarray  # (B,H,W,1)
+    mean_flow: Tuple[jnp.ndarray, jnp.ndarray]  # per frame (B,H,W,2)
+    var_flow: Tuple[jnp.ndarray, jnp.ndarray]
+
+
+class AdaCoFNet(nn.Module):
+    """Full AdaCoF model: pads, estimates kernels, warps, blends."""
+
+    kernel_size: int = 5
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, frame0: jnp.ndarray, frame2: jnp.ndarray) -> AdaCoFOutputs:
+        b, h0, w0, c = frame0.shape
+        assert frame2.shape == frame0.shape, "frame sizes do not match"
+
+        pad_h = (32 - h0 % 32) % 32
+        pad_w = (32 - w0 % 32) % 32
+        if pad_h or pad_w:
+            pad = [(0, 0), (0, pad_h), (0, pad_w), (0, 0)]
+            frame0 = jnp.pad(frame0, pad, mode="reflect")
+            frame2 = jnp.pad(frame2, pad, mode="reflect")
+
+        w1, a1, b1, w2, a2, b2, occ = KernelEstimation(
+            self.kernel_size, name="get_kernel"
+        )(module_normalize(frame0), module_normalize(frame2))
+
+        kp = ((self.kernel_size - 1) * self.dilation) // 2
+        warped0 = adacof_warp(pad_replicate(frame0, kp), w1, a1, b1, self.dilation)
+        warped2 = adacof_warp(pad_replicate(frame2, kp), w2, a2, b2, self.dilation)
+        blended = occ * warped0 + (1.0 - occ) * warped2
+
+        mean1, var1 = flow_stats(w1, a1, b1)
+        mean2, var2 = flow_stats(w2, a2, b2)
+        # UncertaintyMask (fusion_adacofnet.py:211-213): max of summed variance
+        # components, clipped to [0, 20], scaled to [0, 1]; detached.
+        unc = jnp.maximum(var1.sum(-1), var2.sum(-1))
+        unc = jnp.clip(unc, 0.0, 20.0) / 20.0
+        unc = jax.lax.stop_gradient(unc)[..., None]
+
+        def crop(x):
+            return x[:, :h0, :w0]
+
+        return AdaCoFOutputs(
+            warped0=crop(warped0),
+            warped2=crop(warped2),
+            blended=crop(blended),
+            uncertainty=crop(unc),
+            occlusion=crop(occ),
+            mean_flow=(crop(mean1), crop(mean2)),
+            var_flow=(crop(var1), crop(var2)),
+        )
+
+
+def smoothness_penalties(w1, a1, b1, w2, a2, b2, occ, eps: float = 1e-3):
+    """Training regularizers g_Spatial / g_Occlusion (adacofnet.py:202-217):
+    Charbonnier of finite differences of the weighted-mean offset fields and
+    of the occlusion map."""
+
+    def charb(d):
+        return jnp.mean(jnp.sqrt(d**2 + eps**2))
+
+    def grad_penalty(m):  # m: (B,H,W) weighted-mean offset field
+        return charb(m[:, :, :-1] - m[:, :, 1:]) + charb(
+            m[:, :-1, :] - m[:, 1:, :]
+        )
+
+    # NOTE: mean (not sum) over taps, matching adacofnet.py:203-206
+    m1_i = jnp.mean(w1 * a1, axis=-1)
+    m1_j = jnp.mean(w1 * b1, axis=-1)
+    m2_i = jnp.mean(w2 * a2, axis=-1)
+    m2_j = jnp.mean(w2 * b2, axis=-1)
+    g_spatial = (
+        grad_penalty(m1_i) + grad_penalty(m1_j) + grad_penalty(m2_i) + grad_penalty(m2_j)
+    )
+    o = occ[..., 0]
+    g_occ = charb(o[:, :, :-1] - o[:, :, 1:]) + charb(o[:, :-1, :] - o[:, 1:, :])
+    return g_spatial, g_occ

@@ -1,0 +1,71 @@
+"""FusionNet: residual correction over a baseline composite frame.
+
+Re-design of /root/reference/src/fusion_net/fusion_net.py:6-77 in flax NHWC.
+Encoder: 3 reflect-padded convs (5x5/5x5/3x3 -> 32/64/128) each ReLU'd and
+recorded as a skip before 2x max-pool; one 3x3 bottleneck conv; decoder:
+bilinear 2x upsample of ReLU'd features, ADDITIVE skip, conv (5x5/5x5/1x1 ->
+64/32/3); Tanh residual head.  Output = clamp(base + res, 0, 1) (variant 0)
+or clamp(phase + res, 0, 1) (variant 1) per fusion_net.py:69-77.
+
+The reference file also contains an unused 4-conv `self.net` Sequential
+(fusion_net.py:11-20) and a residual-logging side effect — both dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import max_pool2, upsample2x
+
+
+def _rconv(x, c_out, k, name):
+    pad = k // 2
+    if pad:
+        x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
+    return nn.Conv(c_out, (k, k), padding="VALID", name=name)(x)
+
+
+class FusionNet(nn.Module):
+    num_imgs: int = 5  # base, adacof, phase, frame1, frame2
+    uncertainty_maps: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        base: jnp.ndarray,
+        adacof: jnp.ndarray,
+        phase: jnp.ndarray,
+        other: jnp.ndarray,
+        maps: jnp.ndarray | None = None,
+        variant: int = 0,
+    ) -> jnp.ndarray:
+        """All image args NHWC (B,H,W,3); other is (B,H,W,6) = frame1‖frame2;
+        maps (B,H,W,uncertainty_maps) ordered [ada_unc, phase_unc, flow_var]
+        (trainer.py:210).  H, W must be divisible by 8."""
+        parts = [base, adacof, phase, other]
+        if self.uncertainty_maps:
+            assert maps is not None and maps.shape[-1] == self.uncertainty_maps
+            parts.append(maps)
+        x = jnp.concatenate(parts, axis=-1)
+
+        enc_specs = [(32, 5), (64, 5), (128, 3)]
+        skips = []
+        for i, (c, k) in enumerate(enc_specs):
+            x = nn.relu(_rconv(x, c, k, f"enc{i}"))
+            skips.append(x)
+            x = max_pool2(x)
+
+        x = _rconv(x, 128, 3, "bottleneck")
+
+        dec_specs = [(64, 5), (32, 5), (3, 1)]
+        for i, ((c, k), s) in enumerate(zip(dec_specs, skips[::-1])):
+            x = upsample2x(nn.relu(x), align_corners=False)
+            x = x + s
+            x = _rconv(x, c, k, f"dec{i}")
+
+        res = jnp.tanh(x)
+        out = phase + res if variant == 1 else base + res
+        return jnp.clip(out, 0.0, 1.0)
