@@ -1,0 +1,160 @@
+"""Command-line entry points mirroring the reference's scripts.
+
+    python -m fmvfi_tpu.cli interpolate   --first a.png --second b.png --output out.png
+    python -m fmvfi_tpu.cli video         --input clip.mp4 --output_dir out/
+    python -m fmvfi_tpu.cli evaluate      --out_dir results/
+    python -m fmvfi_tpu.cli bench         --size 1080x1920
+
+Reference counterparts: src/{fusion_net,phase_net,adacof}/interpolate_twoframe
+.py, interpolate_video.py, src/evaluation/evaluate.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_weights(args, h, w):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.adacof import AdaCoFNet
+    from .pipeline.interpolate import FusionWeights
+    from .utils.convert import (
+        adacof_from_torch,
+        fusion_net_from_torch,
+        phase_net_from_torch,
+    )
+
+    rng = jax.random.key(0)
+    z = jnp.zeros((1, max(h, 32), max(w, 32), 3))
+    if args.adacof_checkpoint:
+        ada = adacof_from_torch(args.adacof_checkpoint)
+    else:
+        ada = AdaCoFNet(args.kernel_size, args.dilation).init(rng, z, z)
+        print("warning: no --adacof_checkpoint, using random AdaCoF weights",
+              file=sys.stderr)
+    return FusionWeights(
+        phase_net=phase_net_from_torch(args.phase_checkpoint),
+        adacof=ada,
+        fusion_net=fusion_net_from_torch(args.fusion_checkpoint),
+    )
+
+
+def _common(p):
+    p.add_argument("--method", default="fusion", choices=["fusion", "phase", "adacof"])
+    p.add_argument(
+        "--phase_checkpoint", default="/root/reference/src/phase_net/phase_net.pt"
+    )
+    p.add_argument(
+        "--fusion_checkpoint", default="/root/reference/src/fusion_net/fusion_net.pt"
+    )
+    p.add_argument("--adacof_checkpoint", default="")
+    p.add_argument("--kernel_size", type=int, default=5)
+    p.add_argument("--dilation", type=int, default=1)
+
+
+def cmd_interpolate(argv):
+    p = argparse.ArgumentParser(prog="interpolate")
+    p.add_argument("--first_frame", required=True)
+    p.add_argument("--second_frame", required=True)
+    p.add_argument("--output_frame", default="./output.png")
+    p.add_argument("--dim", type=int, default=0, help="center-crop size (0 = full)")
+    _common(p)
+    args = p.parse_args(argv)
+
+    import cv2
+    import jax.numpy as jnp
+
+    from .eval.evaluate import crop_center
+    from .pipeline.video import _interp_fn
+
+    def read(path):
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        return img.astype(np.float32) / 255.0
+
+    f1, f2 = read(args.first_frame), read(args.second_frame)
+    if args.dim:
+        f1 = crop_center(f1, args.dim)
+        f2 = crop_center(f2, args.dim)
+    h, w, _ = f1.shape
+    weights = _load_weights(args, h, w)
+    fn = _interp_fn(weights, h, w, args.method)
+    out = np.asarray(fn(jnp.asarray(f1[None]), jnp.asarray(f2[None])))[0]
+    cv2.imwrite(
+        args.output_frame,
+        cv2.cvtColor((out * 255).clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+    )
+    print(f"wrote {args.output_frame}")
+
+
+def cmd_video(argv):
+    p = argparse.ArgumentParser(prog="video")
+    p.add_argument("--input", required=True, help="video file or frame directory")
+    p.add_argument("--output_dir", required=True)
+    _common(p)
+    args = p.parse_args(argv)
+
+    from .eval.evaluate import load_set
+    from .pipeline.video import double_frame_rate, write_frame_dir
+
+    frames = load_set(args.input)
+    h, w = frames.shape[1:3]
+    weights = _load_weights(args, h, w)
+    out = list(double_frame_rate(frames, weights, args.method))
+    write_frame_dir(args.output_dir, out)
+    print(f"wrote {len(out)} frames to {args.output_dir}")
+
+
+def cmd_evaluate(argv):
+    p = argparse.ArgumentParser(prog="evaluate")
+    p.add_argument("--out_dir", default="./results")
+    p.add_argument("--test_sets", default="synthetic",
+                   help="'synthetic' or comma-separated video/dir paths")
+    p.add_argument("--methods", default="fusion")
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--max_num", type=int, default=10)
+    p.add_argument("--overwrite", action="store_true")
+    _common(p)
+    args = p.parse_args(argv)
+
+    from .eval.evaluate import evaluate_suite, load_set, synthetic_sets
+    from .eval.visualize import metric_bars
+
+    if args.test_sets == "synthetic":
+        sets = synthetic_sets(args.dim)
+    else:
+        sets = {s.split("/")[-1]: load_set(s) for s in args.test_sets.split(",")}
+    weights = _load_weights(args, args.dim, args.dim)
+    summary = evaluate_suite(
+        weights,
+        args.out_dir,
+        sets=sets,
+        methods=args.methods.split(","),
+        dim=args.dim,
+        max_num=args.max_num,
+        overwrite=args.overwrite,
+    )
+    metric_bars(summary, out_path=f"{args.out_dir}/results.png")
+    print(json.dumps(summary, indent=2))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmds = {
+        "interpolate": cmd_interpolate,
+        "video": cmd_video,
+        "evaluate": cmd_evaluate,
+    }
+    if not argv or argv[0] not in cmds:
+        print(f"usage: python -m fmvfi_tpu.cli {{{'|'.join(cmds)}}} ...")
+        return 1
+    return cmds[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,112 @@
+"""Evaluation harness: sweep datasets, interpolate every triplet, score.
+
+Re-design of /root/reference/src/evaluation/{evaluate.py,interpolate.py,
+evaluate_image.py}: per test set, every consecutive triplet (i, i+1, i+2) is
+interpolated from frames i and i+2 and scored against frame i+1
+(center-cropped to `dim`, default 512 — evaluate.py:73).  Results cache to
+.npz keyed by set name (evaluate.py:270-279's resumability, one format).
+
+Datasets here are (N, H, W, 3) float arrays or frame directories; the
+reference's Testset mp4s are LFS-absent from this mount, so `synthetic_sets`
+provides scored stand-ins with exact ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..pipeline.video import read_frame_dir, read_video_frames, _interp_fn
+from .metrics import all_metrics
+from .synth import translation_video
+
+METRIC_NAMES = ("ssim", "lpips_sub", "psnr", "ssd", "l1", "mean_diff", "var_diff")
+
+
+def crop_center(img: np.ndarray, dim: int) -> np.ndarray:
+    h, w = img.shape[-3:-1]
+    if dim >= min(h, w):
+        return img
+    y0 = h // 2 - dim // 2
+    x0 = w // 2 - dim // 2
+    return img[..., y0 : y0 + dim, x0 : x0 + dim, :]
+
+
+def evaluate_frames(
+    frames: np.ndarray,
+    weights,
+    method: str = "fusion",
+    dim: int = 512,
+    max_num: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Score every (i, i+1, i+2) triplet.  Returns {metric: (n_triplets,)}."""
+    frames = crop_center(frames, dim)
+    n, h, w, _ = frames.shape
+    fn = _interp_fn(weights, h, w, method)
+    jmetrics = jax.jit(lambda p, t: all_metrics(p, t))
+
+    n_triplets = n - 2
+    if max_num is not None:
+        n_triplets = min(n_triplets, max_num)
+    out: Dict[str, List[float]] = {k: [] for k in METRIC_NAMES}
+    for i in range(n_triplets):
+        pred = fn(jnp.asarray(frames[i][None]), jnp.asarray(frames[i + 2][None]))
+        m = jmetrics(pred[0], jnp.asarray(frames[i + 1]))
+        for k in METRIC_NAMES:
+            out[k].append(float(m[k]))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
+    """Stand-ins for the LFS-absent Testset clips: textured scenes under
+    slow/medium/fast constant translation."""
+    return {
+        f"synth_step{int(s)}": translation_video(
+            n_frames, dim, dim, step=float(s), seed=int(s)
+        )
+        for s in (1, 4, 10)
+    }
+
+
+def evaluate_suite(
+    weights,
+    out_dir: str,
+    sets: Optional[Dict[str, np.ndarray]] = None,
+    methods: Sequence[str] = ("fusion",),
+    dim: int = 512,
+    max_num: Optional[int] = 10,
+    overwrite: bool = False,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Run the full benchmark suite; caches per (set, method) to
+    `<out_dir>/result_<set>_<method>.npz`.  Returns
+    {set: {method: {metric: mean}}} and writes a summary.json."""
+    os.makedirs(out_dir, exist_ok=True)
+    if sets is None:
+        sets = synthetic_sets(dim)
+    summary: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for name, frames in sets.items():
+        summary[name] = {}
+        for method in methods:
+            cache = os.path.join(out_dir, f"result_{name}_{method}.npz")
+            if os.path.exists(cache) and not overwrite:
+                data = dict(np.load(cache))
+            else:
+                data = evaluate_frames(frames, weights, method, dim, max_num)
+                np.savez(cache, **data)
+            summary[name][method] = {k: float(v.mean()) for k, v in data.items()}
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def load_set(path: str, resize=None) -> np.ndarray:
+    """Load a test set from a video file or a directory of frames."""
+    if os.path.isdir(path):
+        return read_frame_dir(path)
+    return read_video_frames(path, resize=resize)

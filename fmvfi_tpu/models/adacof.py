@@ -136,6 +136,8 @@ class AdaCoFOutputs(NamedTuple):
     occlusion: jnp.ndarray  # (B,H,W,1)
     mean_flow: Tuple[jnp.ndarray, jnp.ndarray]  # per frame (B,H,W,2)
     var_flow: Tuple[jnp.ndarray, jnp.ndarray]
+    heads: Tuple[jnp.ndarray, ...]  # raw (w1, a1, b1, w2, a2, b2) at padded res
+    occ_raw: jnp.ndarray  # occlusion at padded res (for smoothness penalty)
 
 
 class AdaCoFNet(nn.Module):
@@ -184,6 +186,8 @@ class AdaCoFNet(nn.Module):
             occlusion=crop(occ),
             mean_flow=(crop(mean1), crop(mean2)),
             var_flow=(crop(var1), crop(var2)),
+            heads=(w1, a1, b1, w2, a2, b2),
+            occ_raw=occ,
         )
 
 

@@ -43,21 +43,41 @@ class Decomp(NamedTuple):
     amplitude: Tuple[jnp.ndarray, ...]
 
 
-class PyramidFilters(NamedTuple):
-    """Static (numpy) filter bank for one (H, W, height, nbands, scale) bucket."""
+import dataclasses
 
-    height: int
-    nbands: int
-    scale_factor: float
-    in_shape: Tuple[int, int]
-    hi0: np.ndarray  # (H, W) float32
-    lo0: np.ndarray  # (H, W) float32
-    band_masks: Tuple[np.ndarray, ...]  # per level: (nbands, h_l, w_l) complex64
-    synth_masks: Tuple[np.ndarray, ...]  # synthesis-side band masks (complex64)
-    lo_masks: Tuple[np.ndarray, ...]  # per level: (h_{l+1}, w_{l+1}) float32
-    crops: Tuple[Tuple[int, int, int, int], ...]  # per level (r0, r1, c0, c1)
-    level_shapes: Tuple[Tuple[int, int], ...]  # band-level spatial shapes
-    low_shape: Tuple[int, int]
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PyramidFilters:
+    """Filter bank for one (H, W, height, nbands, scale) bucket.
+
+    Registered as a pytree so masks travel as *traced array arguments* (HBM
+    data) rather than giant HLO constants — at 1080p x 17 levels the masks
+    total ~100MB, which must not be inlined into the compiled program (the
+    remote-compile path rejects such payloads, and constants bloat every
+    executable).  Mask arrays are real float32; the unit complex factors
+    (+-i)^(nbands-1) are applied as scalars outside the FFTs."""
+
+    # static metadata
+    height: int = dataclasses.field(metadata=dict(static=True))
+    nbands: int = dataclasses.field(metadata=dict(static=True))
+    scale_factor: float = dataclasses.field(metadata=dict(static=True))
+    in_shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    crops: Tuple[Tuple[int, int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    level_shapes: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    low_shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    # array leaves (all real float32)
+    hi0: object = dataclasses.field(metadata=dict(static=False), default=None)
+    lo0: object = dataclasses.field(metadata=dict(static=False), default=None)
+    band_masks: Tuple = dataclasses.field(metadata=dict(static=False), default=())
+    synth_masks: Tuple = dataclasses.field(metadata=dict(static=False), default=())
+    lo_masks: Tuple = dataclasses.field(metadata=dict(static=False), default=())
 
 
 def max_pyr_height(h: int, w: int) -> int:
@@ -167,11 +187,6 @@ def make_filters(
     hi0 = _hi_mask(log_rad, pos)
     lo0 = _lo_mask(log_rad, pos)
 
-    # complex factor (-i)^(nbands-1) applied to analysis band masks; synthesis
-    # uses (+i)^(nbands-1).
-    cfact = (0.0 - 1.0j) ** (nbands - 1)
-    cfact_s = (0.0 + 1.0j) ** (nbands - 1)
-
     band_masks = []
     synth_masks = []
     lo_masks = []
@@ -184,8 +199,10 @@ def make_filters(
         him = _hi_mask(cur_log_rad, pos)
         ang = _angle_masks(cur_angle, nbands)
         ang_s = _angle_masks_synth(cur_angle, nbands)
-        band_masks.append((ang * him[None]).astype(np.complex64) * cfact)
-        synth_masks.append((ang_s * him[None]).astype(np.complex64) * cfact_s)
+        # stored real; the unit complex factors (-i)^(n-1) (analysis) and
+        # (+i)^(n-1) (synthesis) are scalars applied outside the FFT.
+        band_masks.append((ang * him[None]).astype(np.float32))
+        synth_masks.append((ang_s * him[None]).astype(np.float32))
         level_shapes.append(cur_dims)
 
         (r0, r1, c0, c1), new_dims = _crop_indices(cur_dims, scale_factor)
@@ -204,15 +221,23 @@ def make_filters(
         nbands=nbands,
         scale_factor=scale_factor,
         in_shape=(h, w),
+        crops=tuple(crops),
+        level_shapes=tuple(level_shapes),
+        low_shape=cur_dims,
         hi0=hi0,
         lo0=lo0,
         band_masks=tuple(band_masks),
         synth_masks=tuple(synth_masks),
         lo_masks=tuple(lo_masks),
-        crops=tuple(crops),
-        level_shapes=tuple(level_shapes),
-        low_shape=cur_dims,
     )
+
+
+def _cfact(nbands: int) -> complex:
+    return (0.0 - 1.0j) ** (nbands - 1)
+
+
+def _cfact_synth(nbands: int) -> complex:
+    return (0.0 + 1.0j) ** (nbands - 1)
 
 
 def _fft2s(x: jnp.ndarray) -> jnp.ndarray:
@@ -231,10 +256,12 @@ def decompose(img: jnp.ndarray, filters: PyramidFilters) -> Decomp:
     high = jnp.real(_ifft2s(dft * filters.hi0))
     lodft = dft * filters.lo0
 
+    cf = _cfact(filters.nbands)
     phases, amps = [], []
     for lvl in range(filters.height - 2):
         band_dft = lodft[:, None, :, :] * filters.band_masks[lvl][None]
-        band = _ifft2s(band_dft)
+        # unit complex factor is linear: ifft(cf*X) == cf*ifft(X)
+        band = _ifft2s(band_dft) * cf
         # keep abs/angle paired on the same complex value; angle == imag(log z)
         amps.append(jnp.abs(band))
         phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
@@ -258,7 +285,7 @@ def reconstruct(vals: Decomp, filters: PyramidFilters) -> jnp.ndarray:
         up = up.at[:, r0:r1, c0:c1].set(lodft * filters.lo_masks[lvl])
 
         band = vals.amplitude[lvl] * jnp.exp(1j * vals.phase[lvl].astype(jnp.float32))
-        band_dft = _fft2s(band)
+        band_dft = _fft2s(band) * _cfact_synth(filters.nbands)
         orient = jnp.sum(band_dft * filters.synth_masks[lvl][None], axis=1)
         lodft = up + orient
 

@@ -1,0 +1,224 @@
+"""End-to-end interpolation pipelines, each ONE jittable pure function.
+
+The reference runs this as a Python orchestration of 5 model invocations,
+4 pyramid passes, CPU color conversions and CPU scipy filters per frame pair
+(/root/reference/src/fusion_net/interpolate_twoframe.py:82-334, trainer.py
+:65-220) — and even re-creates/reloads PhaseNet *per frame pair* inside the
+eval loop (interpolate_twoframe.py:135-137).  Here the whole graph traces
+once per resolution bucket and XLA fuses it; weights are plain pytrees passed
+in, so there is nothing to "reload".
+
+Layouts: frames are NHWC RGB float32 in [0,1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.adacof import AdaCoFNet
+from ..models.fusion_net import FusionNet
+from ..models.phase_net import (
+    PhaseNetCore,
+    normalize_inputs,
+    predictions_to_decomp,
+)
+from ..ops import decomp as dec_ops
+from ..ops.color import lab_to_rgb, rgb_to_lab
+from ..ops.filters import gaussian_blur, median_filter
+from ..ops.pyramid import Decomp, decompose, make_filters, max_pyr_height, reconstruct
+
+
+class FusionWeights(NamedTuple):
+    """All frozen/learned weights of the fusion pipeline."""
+
+    phase_net: dict
+    adacof: dict
+    fusion_net: dict
+
+
+def _to_chan_batch(img: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B*3, H, W), batch-major then channel (matching the
+    reference's rgb2lab(...).reshape((-1,) + hw) layout, trainer.py:231)."""
+    b, h, w, c = img.shape
+    return jnp.transpose(img, (0, 3, 1, 2)).reshape(b * c, h, w)
+
+
+def _from_chan_batch(x: jnp.ndarray, channels: int = 3) -> jnp.ndarray:
+    n, h, w = x.shape
+    return jnp.transpose(x.reshape(n // channels, channels, h, w), (0, 2, 3, 1))
+
+
+def _phase_net_predict(phase_vars, chan_batch: jnp.ndarray, filters, m=None):
+    """Shared PhaseNet sub-graph: a packed 2-frame channel batch
+    (2*B*3, H, W) -> predicted single-frame decomposition (B*3 leading)."""
+    vals = decompose(chan_batch, filters)
+    v1, v2 = dec_ops.split_frames(vals, 2)
+    low, phases, amps = dec_ops.concat_for_net([v1, v2])
+    lown, pn, an, norm = normalize_inputs(low, phases, amps)
+    core = PhaseNetCore(num_img=2)
+    lo, pp, ap = core.apply(phase_vars, lown, pn, an, m=m)
+    high = jnp.zeros_like(v1.high)  # zeros, core.py:142-145
+    return predictions_to_decomp(lo, pp, ap, norm, high)
+
+
+def phase_interpolate(
+    phase_vars,
+    frame1: jnp.ndarray,
+    frame2: jnp.ndarray,
+    height: Optional[int] = None,
+    filters=None,
+) -> jnp.ndarray:
+    """PhaseNet-only interpolation (config 1 of BASELINE.json).
+
+    Pass `filters` (a PyramidFilters pytree) explicitly when jitting at high
+    resolution so the masks are traced HBM arguments, not HLO constants."""
+    b, h, w, _ = frame1.shape
+    if filters is None:
+        filters = make_filters(h, w, height or max_pyr_height(h, w))
+    lab = jnp.concatenate(
+        [_to_chan_batch(rgb_to_lab(frame1)), _to_chan_batch(rgb_to_lab(frame2))], 0
+    )
+    dec = _phase_net_predict(phase_vars, lab, filters)
+    lab_pred = reconstruct(dec, filters)
+    return jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
+
+
+def adacof_interpolate(
+    adacof_vars,
+    frame1: jnp.ndarray,
+    frame2: jnp.ndarray,
+    kernel_size: int = 5,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """AdaCoF-only interpolation (config 2)."""
+    model = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+    return jnp.clip(model.apply(adacof_vars, frame1, frame2).blended, 0.0, 1.0)
+
+
+def fusion_interpolate(
+    weights: FusionWeights,
+    frame1: jnp.ndarray,
+    frame2: jnp.ndarray,
+    kernel_size: int = 5,
+    dilation: int = 1,
+    height: Optional[int] = None,
+    return_parts: bool = False,
+    filters=None,
+):
+    """The full fusion pipeline (trainer.predict / interp, §3.3 of SURVEY):
+
+    1. AdaCoF prediction + flow-variance uncertainty,
+    2. PhaseNet prediction through the steerable pyramid (Lab domain),
+    3. phase/adacof band-difference uncertainty maps (on-device gaussian +
+       median filters replacing trainer.py:134,143's CPU scipy),
+    4. 3-pass AdaCoF baseline composite (trainer.py:149-159),
+    5. FusionNet residual blend.
+
+    Pass `filters` explicitly when jitting at high resolution (see
+    phase_interpolate).
+    """
+    b, h, w, _ = frame1.shape
+    if filters is None:
+        filters = make_filters(h, w, height or max_pyr_height(h, w))
+    adacof = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+
+    # 1. AdaCoF
+    ada_out = adacof.apply(weights.adacof, frame1, frame2)
+    ada_pred = ada_out.blended
+    flow_var_map = ada_out.uncertainty[..., 0]  # (B, H, W)
+
+    # 2. PhaseNet (Lab domain)
+    lab1 = rgb_to_lab(frame1)
+    lab2 = rgb_to_lab(frame2)
+    lab_batch = jnp.concatenate([_to_chan_batch(lab1), _to_chan_batch(lab2)], 0)
+    dec = _phase_net_predict(weights.phase_net, lab_batch, filters)
+    lab_pred = reconstruct(dec, filters)
+    phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
+
+    # 3. uncertainty maps: decompose (ada_pred, phase_pred) in RGB space
+    rgb_batch = jnp.concatenate(
+        [_to_chan_batch(ada_pred), _to_chan_batch(phase_pred)], 0
+    )
+    vals = decompose(rgb_batch, filters)
+    vals_ada, vals_ph = dec_ops.split_frames(vals, 2)
+
+    # 3a. phase uncertainty: |finest-band-only reconstructions| difference
+    h_ada = reconstruct(dec_ops.keep_finest_levels(vals_ada, 1), filters)
+    h_ph = reconstruct(dec_ops.keep_finest_levels(vals_ph, 1), filters)
+    h_diff = jnp.abs(
+        _from_chan_batch(h_ada).mean(-1) - _from_chan_batch(h_ph).mean(-1)
+    )
+    h_diff = jnp.clip(h_diff * 100.0, 0.0, 1.0)
+    phase_uncertainty = gaussian_blur(h_diff, 5.0)  # (B, H, W)
+
+    # 3b. adacof artifact uncertainty: coarse-band difference minus its 50x50
+    # median, scaled (trainer.py:138-146)
+    vals_diff = dec_ops.keep_coarsest_levels(
+        dec_ops.abs_difference(vals_ph, vals_ada), 6
+    )
+    freq_diff = _from_chan_batch(reconstruct(vals_diff, filters)).mean(-1) * 30.0
+    freq_med = median_filter(freq_diff, size=50)
+    ada_uncertainty = jnp.clip(jnp.abs(freq_diff - freq_med) * 5.0, 0.0, 1.0)
+
+    # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2))
+    in1 = adacof.apply(weights.adacof, frame1, phase_pred).blended
+    in2 = adacof.apply(weights.adacof, phase_pred, frame2).blended
+    base = adacof.apply(weights.adacof, in1, in2).blended
+
+    # 5. FusionNet blend; other = Lab frames (trainer.py:208), maps order
+    # [ada_unc, phase_unc, flow_var] (trainer.py:210)
+    other = jnp.concatenate([lab1, lab2], axis=-1)
+    maps = jnp.stack([ada_uncertainty, phase_uncertainty, flow_var_map], axis=-1)
+    fusion = FusionNet()
+    final = fusion.apply(
+        weights.fusion_net, base, ada_pred, phase_pred, other, maps, 0
+    )
+    if return_parts:
+        return final, {
+            "phase": phase_pred,
+            "adacof": ada_pred,
+            "baseline": base,
+            "maps": maps,
+        }
+    return final
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "dilation", "height"))
+def fusion_interpolate_jit(
+    weights, frame1, frame2, kernel_size=5, dilation=1, height=None, filters=None
+):
+    return fusion_interpolate(
+        weights, frame1, frame2, kernel_size, dilation, height, filters=filters
+    )
+
+
+@jax.jit
+def phase_interpolate_jit(phase_vars, frame1, frame2, filters=None):
+    return phase_interpolate(phase_vars, frame1, frame2, filters=filters)
+
+
+def spectral_baseline(
+    frame_lowsrc: jnp.ndarray, frame_highsrc: jnp.ndarray, height: Optional[int] = None
+) -> jnp.ndarray:
+    """--output_baseline composite (interpolate_twoframe.py:286-322): low half
+    of the spectrum from one prediction (PhaseNet), high half from the other
+    (AdaCoF), recombined through the pyramid.  RGB NHWC in/out."""
+    b, h, w, _ = frame_lowsrc.shape
+    filters = make_filters(h, w, height or max_pyr_height(h, w))
+    lab_lo = _to_chan_batch(rgb_to_lab(frame_lowsrc))
+    lab_hi = _to_chan_batch(rgb_to_lab(frame_highsrc))
+    v_lo = decompose(lab_lo, filters)
+    v_hi = decompose(lab_hi, filters)
+    split = len(v_lo.phase) // 2
+    mixed = Decomp(
+        high=v_hi.high,
+        low=v_lo.low,
+        phase=tuple(v_lo.phase[:split]) + tuple(v_hi.phase[split:]),
+        amplitude=tuple(v_lo.amplitude[:split]) + tuple(v_hi.amplitude[split:]),
+    )
+    lab = reconstruct(mixed, filters)
+    return jnp.clip(lab_to_rgb(_from_chan_batch(lab)), 0.0, 1.0)

@@ -1,0 +1,126 @@
+"""Video / frame-directory interpolation (frame-rate doubling).
+
+Mirrors /root/reference/src/fusion_net/interpolate_video.py and
+src/adacof/interpolate_video.py — but instead of a per-pair Python loop that
+re-enters the framework (and, in the reference, reloads PhaseNet from disk
+per pair), this decodes on the host, keeps one compiled executable per
+resolution bucket, and overlaps host decode with device compute via a
+one-deep prefetch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pyramid import make_filters, max_pyr_height
+from .interpolate import FusionWeights, fusion_interpolate, phase_interpolate
+
+
+def read_video_frames(path: str, resize=None) -> np.ndarray:
+    """Decode an mp4/avi into (N, H, W, 3) float32 RGB in [0,1] (host, cv2)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        if resize is not None:
+            bgr = cv2.resize(bgr, (resize[1], resize[0]))
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def read_frame_dir(path: str) -> np.ndarray:
+    """Read a sorted directory of PNG/JPG frames into (N, H, W, 3) [0,1]."""
+    import cv2
+
+    names = sorted(
+        f for f in os.listdir(path) if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not names:
+        raise ValueError(f"no frames in {path}")
+    frames = []
+    for n in names:
+        bgr = cv2.imread(os.path.join(path, n))
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def write_frame_dir(path: str, frames: Sequence[np.ndarray]) -> None:
+    import cv2
+
+    os.makedirs(path, exist_ok=True)
+    for i, f in enumerate(frames):
+        bgr = cv2.cvtColor((np.asarray(f) * 255).clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(path, f"{i:05d}.png"), bgr)
+
+
+def _interp_fn(weights, h: int, w: int, method: str):
+    filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
+    if method == "fusion":
+        jfn = jax.jit(
+            lambda wts, flt, a, b: fusion_interpolate(wts, a, b, filters=flt)
+        )
+        return lambda a, b: jfn(weights, filters, a, b)
+    if method == "phase":
+        jfn = jax.jit(
+            lambda wts, flt, a, b: phase_interpolate(wts, a, b, filters=flt)
+        )
+        return lambda a, b: jfn(weights.phase_net, filters, a, b)
+    if method == "adacof":
+        from .interpolate import adacof_interpolate
+
+        jfn = jax.jit(lambda wts, a, b: adacof_interpolate(wts, a, b))
+        return lambda a, b: jfn(weights.adacof, a, b)
+    raise ValueError(f"unknown method {method}")
+
+
+def double_frame_rate(
+    frames: np.ndarray, weights: FusionWeights, method: str = "fusion"
+) -> Iterator[np.ndarray]:
+    """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
+
+    Device compute for pair i+1 is dispatched before pair i's result is
+    fetched (JAX async dispatch), overlapping transfer with compute."""
+    n, h, w, _ = frames.shape
+    fn = _interp_fn(weights, h, w, method)
+    pending = None  # (original frame to emit first, device result)
+    for i in range(n - 1):
+        a = jnp.asarray(frames[i][None])
+        b = jnp.asarray(frames[i + 1][None])
+        result = fn(a, b)  # dispatched asynchronously
+        if pending is not None:
+            orig, dev = pending
+            yield orig
+            yield np.asarray(dev)[0]
+        pending = (frames[i], result)
+    orig, dev = pending
+    yield orig
+    yield np.asarray(dev)[0]
+    yield frames[-1]
+
+
+def interpolate_video_file(
+    src: str,
+    dst_dir: str,
+    weights: FusionWeights,
+    method: str = "fusion",
+    resize=None,
+) -> int:
+    """Read a video, double its frame rate, write PNGs.  Returns frame count."""
+    frames = read_video_frames(src, resize=resize)
+    out = list(double_frame_rate(frames, weights, method))
+    write_frame_dir(dst_dir, out)
+    return len(out)

@@ -1,0 +1,144 @@
+"""Host-side input pipeline.
+
+Replacement for /root/reference/src/train/datareader.py's torch Dataset with
+a disabled worker pool (num_workers=0, train/train.py:74): a plain-numpy
+Vimeo90k triplet reader with the same augmentations (shared random crop,
+h/v flips, time reversal — datareader.py:45-69) plus a thread-prefetched
+batch iterator that overlaps PNG decode with device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class Vimeo90kTriplets:
+    """vimeo_triplet/sequences/<seq>/<clip>/im{1,2,3}.png reader."""
+
+    def __init__(self, db_dir: str):
+        seq_dir = os.path.join(db_dir, "sequences")
+        self.triplets = []
+        for seq in sorted(os.listdir(seq_dir)):
+            sp = os.path.join(seq_dir, seq)
+            if not os.path.isdir(sp):
+                continue
+            for clip in sorted(os.listdir(sp)):
+                cp = os.path.join(sp, clip)
+                if os.path.isdir(cp):
+                    self.triplets.append(cp)
+        if not self.triplets:
+            raise ValueError(f"no triplets under {seq_dir}")
+
+    def __len__(self):
+        return len(self.triplets)
+
+    def load(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import cv2
+
+        path = self.triplets[index]
+        frames = []
+        for i in (1, 2, 3):
+            bgr = cv2.imread(os.path.join(path, f"im{i}.png"))
+            frames.append(
+                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            )
+        return tuple(frames)
+
+
+class SyntheticTriplets:
+    """In-memory stand-in dataset (tests / demos without Vimeo90k on disk)."""
+
+    def __init__(self, n: int = 64, h: int = 256, w: int = 448):
+        from ..eval.synth import translation_triplet
+
+        self._items = [
+            translation_triplet(h, w, dx=float(2 + i % 6), dy=float(i % 3), seed=i)
+            for i in range(n)
+        ]
+
+    def __len__(self):
+        return len(self._items)
+
+    def load(self, index: int):
+        return self._items[index]
+
+
+def augment_triplet(
+    frames: Sequence[np.ndarray],
+    rng: np.random.Generator,
+    crop: Optional[int] = 256,
+    augment_s: bool = True,
+    augment_t: bool = True,
+):
+    """Shared random crop + flips + time reversal (datareader.py:45-69)."""
+    f0, f1, f2 = frames
+    if crop is not None:
+        h, w = f0.shape[:2]
+        if h < crop or w < crop:
+            raise ValueError(f"frame {h}x{w} smaller than crop {crop}")
+        y = int(rng.integers(0, h - crop + 1))
+        x = int(rng.integers(0, w - crop + 1))
+        f0, f1, f2 = (f[y : y + crop, x : x + crop] for f in (f0, f1, f2))
+    if augment_s:
+        if rng.random() < 0.5:
+            f0, f1, f2 = (f[:, ::-1] for f in (f0, f1, f2))
+        if rng.random() < 0.5:
+            f0, f1, f2 = (f[::-1] for f in (f0, f1, f2))
+    if augment_t and rng.random() < 0.5:
+        f0, f2 = f2, f0
+    return np.ascontiguousarray(f0), np.ascontiguousarray(f1), np.ascontiguousarray(f2)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    seed: int = 0,
+    crop: Optional[int] = 256,
+    shuffle: bool = True,
+    prefetch: int = 2,
+    epochs: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (frame1, target, frame2) batches, each (B, crop, crop, 3),
+    decoded+augmented on a background thread."""
+    rng = np.random.default_rng(seed)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        epoch = 0
+        try:
+            while not stop.is_set() and (epochs is None or epoch < epochs):
+                order = (
+                    rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+                )
+                for s in range(0, len(order) - batch_size + 1, batch_size):
+                    if stop.is_set():
+                        return
+                    idx = order[s : s + batch_size]
+                    items = [
+                        augment_triplet(dataset.load(int(i)), rng, crop=crop)
+                        for i in idx
+                    ]
+                    batch = tuple(
+                        np.stack([it[j] for it in items]) for j in range(3)
+                    )
+                    q.put(batch)
+                epoch += 1
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

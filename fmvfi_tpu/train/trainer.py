@@ -1,0 +1,228 @@
+"""Training steps for the three regimes, as pure jittable functions.
+
+Functional redesign of the reference's three trainers:
+- PhaseNet  (/root/reference/src/train/trainer.py:111-165): Adam, loss =
+  L1(lab image) + 0.005 * circular phase loss vs the target's decomposition
+  (the target frame rides through the SAME pyramid pass as the inputs,
+  trainer.py:94-104).
+- AdaCoF    (/root/reference/src/adacof/trainer.py:36-54): spec-string loss
+  (default '1*Charb+0.01*g_Spatial+0.005*g_Occlusion'), ADAMax.
+- FusionNet (/root/reference/src/fusion_net/trainer.py:222-292): plain L1 on
+  the fused output; PhaseNet and AdaCoF frozen (stop_gradient), only
+  FusionNet parameters receive gradients.
+
+Each `make_*_step` returns `(init_state, step_fn)` where step_fn is pure:
+`state, metrics = step_fn(state, batch)` — jit it directly, or wrap with
+`parallel.dp.data_parallel` to shard the batch across a mesh (XLA inserts the
+gradient all-reduce; the reference had no multi-device story at all).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.adacof import AdaCoFNet, smoothness_penalties
+from ..models.fusion_net import FusionNet
+from ..models.phase_net import PhaseNetCore, normalize_inputs, predictions_to_decomp
+from ..ops import decomp as dec_ops
+from ..ops.color import rgb_to_lab
+from ..ops.pyramid import decompose, make_filters, max_pyr_height, reconstruct
+from ..pipeline.interpolate import FusionWeights, _to_chan_batch, fusion_interpolate
+from .losses import LossSpec, charbonnier, l1, phase_net_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    extra: Any  # batch_stats for BN models, None otherwise
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _init_state(params, extra, tx) -> TrainState:
+    return TrainState(params, extra, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------- PhaseNet
+
+
+def make_phase_trainer(
+    rng,
+    h: int,
+    w: int,
+    lr: float = 1e-3,
+    height: Optional[int] = None,
+    weighting_factor: float = 0.005,
+):
+    """PhaseNet training on (frame1, target, frame2) RGB NHWC triplets."""
+    height = height or max_pyr_height(h, w)
+    filters = make_filters(h, w, height)
+    core = PhaseNetCore(num_img=2)
+    tx = optax.adam(lr)
+
+    # init by tracing one forward at the real height
+    dummy = jnp.zeros((3, h, w))
+    vals = decompose(dummy, filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    variables = core.init(rng, lown, pn, an)
+    state = _init_state(variables["params"], variables["batch_stats"], tx)
+
+    def forward(params, batch_stats, f1, f2, target, train: bool):
+        lab1 = _to_chan_batch(rgb_to_lab(f1))
+        lab2 = _to_chan_batch(rgb_to_lab(f2))
+        labt = _to_chan_batch(rgb_to_lab(target))
+        # one pyramid pass for inputs AND target (trainer.py:94-104)
+        vals = decompose(jnp.concatenate([lab1, lab2, labt], 0), filters)
+        v1, v2, vt = dec_ops.split_frames(vals, 3)
+        low, phases, amps = dec_ops.concat_for_net([v1, v2])
+        lown, pn, an, norm = normalize_inputs(low, phases, amps)
+        out, updates = core.apply(
+            {"params": params, "batch_stats": batch_stats},
+            lown,
+            pn,
+            an,
+            train=train,
+            mutable=["batch_stats"] if train else [],
+        )
+        lo, pp, ap = out
+        dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(v1.high))
+        pred_img = reconstruct(dec, filters)
+        new_stats = updates.get("batch_stats", batch_stats) if train else batch_stats
+        return pred_img, labt, dec, vt, new_stats
+
+    def loss_fn(params, batch_stats, batch):
+        f1, target, f2 = batch
+        pred_img, labt, dec, vt, new_stats = forward(
+            params, batch_stats, f1, f2, target, train=True
+        )
+        total, parts = phase_net_loss(pred_img, labt, dec, vt, weighting_factor)
+        return total, (parts, new_stats)
+
+    def step_fn(state: TrainState, batch):
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.extra, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **parts}
+        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
+
+    def eval_fn(state: TrainState, f1, f2):
+        lab1 = _to_chan_batch(rgb_to_lab(f1))
+        lab2 = _to_chan_batch(rgb_to_lab(f2))
+        vals = decompose(jnp.concatenate([lab1, lab2], 0), filters)
+        v1, v2 = dec_ops.split_frames(vals, 2)
+        low, phases, amps = dec_ops.concat_for_net([v1, v2])
+        lown, pn, an, norm = normalize_inputs(low, phases, amps)
+        lo, pp, ap = core.apply(
+            {"params": state.params, "batch_stats": state.extra}, lown, pn, an
+        )
+        dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(v1.high))
+        return reconstruct(dec, filters)
+
+    return state, step_fn, eval_fn
+
+
+# ---------------------------------------------------------------- AdaCoF
+
+
+def make_adacof_trainer(
+    rng,
+    h: int,
+    w: int,
+    kernel_size: int = 5,
+    dilation: int = 1,
+    lr: float = 1e-3,
+    loss_spec: Optional[LossSpec] = None,
+    optimizer: str = "adamax",
+):
+    """AdaCoF training (config of the published checkpoints: Vimeo90k,
+    ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion)."""
+    from .losses import parse_loss_spec
+
+    spec = loss_spec or parse_loss_spec("1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
+    model = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+    tx = {"adam": optax.adam, "adamax": optax.adamax, "sgd": optax.sgd}[optimizer](lr)
+    dummy = jnp.zeros((1, h, w, 3))
+    variables = model.init(rng, dummy, dummy)
+    state = _init_state(variables["params"], None, tx)
+
+    def loss_fn(params, batch):
+        f1, target, f2 = batch
+        out = model.apply({"params": params}, f1, f2)
+        w1, a1, b1, w2, a2, b2 = out.heads
+        g_spatial, g_occ = smoothness_penalties(w1, a1, b1, w2, a2, b2, out.occ_raw)
+        values = {
+            "Charb": charbonnier(out.blended, target),
+            "L1": l1(out.blended, target),
+            "MSE": jnp.mean((out.blended - target) ** 2),
+            "g_Spatial": g_spatial,
+            "g_Occlusion": g_occ,
+        }
+        return spec(values), values
+
+    def step_fn(state: TrainState, batch):
+        (loss, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **values}
+        return TrainState(params, None, opt_state, state.step + 1), metrics
+
+    return state, step_fn
+
+
+# ---------------------------------------------------------------- FusionNet
+
+
+def make_fusion_trainer(
+    rng,
+    h: int,
+    w: int,
+    phase_vars,
+    adacof_vars,
+    kernel_size: int = 5,
+    dilation: int = 1,
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+):
+    """FusionNet training: frozen PhaseNet + AdaCoF produce the pipeline
+    inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254)."""
+    fusion = FusionNet()
+    z3 = jnp.zeros((1, h, w, 3))
+    fvars = fusion.init(
+        rng, z3, z3, z3, jnp.zeros((1, h, w, 6)), jnp.zeros((1, h, w, 3))
+    )
+    tx = (
+        optax.adamw(lr, weight_decay=weight_decay)
+        if weight_decay
+        else optax.adam(lr)
+    )
+    state = _init_state(fvars["params"], None, tx)
+    frozen_phase = jax.lax.stop_gradient(phase_vars)
+    frozen_ada = jax.lax.stop_gradient(adacof_vars)
+
+    def loss_fn(fparams, batch):
+        f1, target, f2 = batch
+        weights = FusionWeights(
+            phase_net=frozen_phase,
+            adacof=frozen_ada,
+            fusion_net={"params": fparams},
+        )
+        pred = fusion_interpolate(
+            weights, f1, f2, kernel_size=kernel_size, dilation=dilation
+        )
+        return l1(pred, target)
+
+    def step_fn(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, None, opt_state, state.step + 1), {"loss": loss}
+
+    return state, step_fn

@@ -1,0 +1,64 @@
+"""Data-parallel sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fmvfi_tpu.parallel.dp import data_parallel, data_parallel_apply
+from fmvfi_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from fmvfi_tpu.train.trainer import make_adacof_trainer
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """The sharded step must produce the same params as the local step."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    h = w = 32
+    b = 8
+    f1 = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    mid = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    batch = (f1, mid, f2)
+
+    state0, step = make_adacof_trainer(jax.random.key(1), h, w, kernel_size=3)
+
+    # single device
+    s_local, m_local = jax.jit(step)(state0, batch)
+
+    # data parallel
+    pstep = data_parallel(step, mesh)
+    state_r = replicate(mesh, state0)
+    batch_s = shard_batch(mesh, batch)
+    s_dp, m_dp = pstep(state_r, batch_s)
+
+    np.testing.assert_allclose(
+        float(m_local["loss"]), float(m_dp["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(s_local.params)
+    l2 = jax.tree.leaves(s_dp.params)
+    for a, b_ in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_dp_inference_sharded_batch():
+    mesh = make_mesh()
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+
+    model = AdaCoFNet(kernel_size=3)
+    z = jnp.zeros((8, 32, 32, 3))
+    variables = model.init(jax.random.key(0), z, z)
+
+    def infer(weights, a, b):
+        return model.apply(weights, a, b).blended
+
+    fn = data_parallel_apply(infer, mesh)
+    out = fn(replicate(mesh, variables), shard_batch(mesh, z), shard_batch(mesh, z))
+    assert out.shape == (8, 32, 32, 3)
+    # output really is sharded over the batch axis
+    assert len(out.sharding.device_set) == 8
