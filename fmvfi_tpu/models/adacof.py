@@ -141,10 +141,25 @@ class AdaCoFOutputs(NamedTuple):
 
 
 class AdaCoFNet(nn.Module):
-    """Full AdaCoF model: pads, estimates kernels, warps, blends."""
+    """Full AdaCoF model: pads, estimates kernels, warps, blends.
+
+    use_pallas: None = auto (Pallas warp kernel on TPU, XLA-gather elsewhere);
+    True/False forces.  The Pallas path clamps offsets to +-max_offset (31) —
+    see ops/adacof_pallas.py."""
 
     kernel_size: int = 5
     dilation: int = 1
+    use_pallas: bool | None = None
+
+    def _warp(self, x, w, a, b):
+        use = self.use_pallas
+        if use is None:
+            use = jax.default_backend() == "tpu"
+        if use:
+            from ..ops.adacof_pallas import adacof_warp_fast
+
+            return adacof_warp_fast(x, w, a, b, self.dilation)
+        return adacof_warp(x, w, a, b, self.dilation)
 
     @nn.compact
     def __call__(self, frame0: jnp.ndarray, frame2: jnp.ndarray) -> AdaCoFOutputs:
@@ -163,8 +178,8 @@ class AdaCoFNet(nn.Module):
         )(module_normalize(frame0), module_normalize(frame2))
 
         kp = ((self.kernel_size - 1) * self.dilation) // 2
-        warped0 = adacof_warp(pad_replicate(frame0, kp), w1, a1, b1, self.dilation)
-        warped2 = adacof_warp(pad_replicate(frame2, kp), w2, a2, b2, self.dilation)
+        warped0 = self._warp(pad_replicate(frame0, kp), w1, a1, b1)
+        warped2 = self._warp(pad_replicate(frame2, kp), w2, a2, b2)
         blended = occ * warped0 + (1.0 - occ) * warped2
 
         mean1, var1 = flow_stats(w1, a1, b1)

