@@ -1,0 +1,141 @@
+"""Training-loop driver: epochs, periodic probes, checkpoints, observability.
+
+One structured system replacing the reference's scattered artifacts
+(SURVEY §5): log.txt file handles (train/trainer.py:47), loss_history ->
+np.savetxt + matplotlib curves (train/train.py:123-131), per-epoch PSNR probe
+logfiles (adacof/TestModule.py:43-64), per-N-step checkpoints
+(fusion_net/trainer.py:272), and config.txt dumps (train/train.py:107-111).
+
+- `MetricsWriter`: JSONL stream + CSV summary + loss-curve PNG.
+- `PsnrProbe`: fixed probe triplets scored every epoch (the Middlebury-other
+  per-epoch PSNR equivalent; probe sets are synthetic here since the
+  reference's datasets are not on this mount).
+- `fit()`: epoch loop gluing a (state, step_fn) pair from train.trainer to a
+  batch iterator, with orbax resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+class MetricsWriter:
+    def __init__(self, out_dir: str, name: str = "train"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.name = name
+        self.path = os.path.join(out_dir, f"{name}_metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.history: Dict[str, list] = {}
+
+    def write(self, step: int, metrics: Dict[str, float], **extra):
+        rec = {"step": int(step), "time": time.time(), **extra}
+        for k, v in metrics.items():
+            v = float(v)
+            rec[k] = v
+            self.history.setdefault(k, []).append((step, v))
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def plot(self, keys: Optional[Sequence[str]] = None):
+        """Loss-curve PNG (train/train.py:125-131 equivalent)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        keys = keys or [k for k in self.history if k.endswith("loss") or k == "loss"]
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for k in keys:
+            if k in self.history:
+                xs, ys = zip(*self.history[k])
+                ax.plot(xs, ys, label=k)
+        ax.set_xlabel("step")
+        ax.set_ylabel("value")
+        ax.legend()
+        fig.tight_layout()
+        path = os.path.join(self.out_dir, f"{self.name}_curve.png")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        return path
+
+    def close(self):
+        self._f.close()
+
+
+class PsnrProbe:
+    """Score fixed triplets with a predict_fn(state, f1, f2) -> pred."""
+
+    def __init__(self, triplets, predict_fn: Callable):
+        self.triplets = triplets  # list of (f1, mid, f2) arrays (H, W, 3)
+        self.predict_fn = predict_fn
+
+    def __call__(self, state) -> float:
+        import jax.numpy as jnp
+
+        psnrs = []
+        for f1, mid, f2 in self.triplets:
+            pred = self.predict_fn(state, jnp.asarray(f1[None]), jnp.asarray(f2[None]))
+            pred = np.asarray(pred)
+            mse = np.mean((pred[0] - mid) ** 2)
+            psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+        return float(np.mean(psnrs))
+
+
+def fit(
+    state,
+    step_fn: Callable,
+    batches: Iterable,
+    out_dir: str,
+    epochs: int = 1,
+    steps_per_epoch: Optional[int] = None,
+    log_every: int = 50,
+    ckpt_every: int = 500,
+    probe: Optional[PsnrProbe] = None,
+    resume: bool = True,
+    jit: bool = True,
+):
+    """Run the loop.  `batches` yields (f1, target, f2) NHWC batches forever;
+    an epoch is `steps_per_epoch` batches (or one pass if the iterator is
+    finite and steps_per_epoch is None)."""
+    from ..utils.checkpoint import Checkpointer
+
+    writer = MetricsWriter(out_dir)
+    ckptr = Checkpointer(os.path.join(out_dir, "checkpoint"))
+    if resume and ckptr.latest() is not None:
+        state = ckptr.restore(state)
+
+    fn = jax.jit(step_fn) if jit else step_fn
+    it = iter(batches)
+    step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
+
+    for epoch in range(epochs):
+        n = 0
+        while steps_per_epoch is None or n < steps_per_epoch:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            state, metrics = fn(state, batch)
+            step += 1
+            n += 1
+            if step % log_every == 0:
+                writer.write(step, metrics, epoch=epoch)
+            if step % ckpt_every == 0:
+                ckptr.save(step, state)
+                writer.plot()
+        if probe is not None:
+            p = probe(state)
+            writer.write(step, {"probe_psnr": p}, epoch=epoch)
+        ckptr.save(step, state)
+        writer.plot()
+
+    writer.close()
+    return state
