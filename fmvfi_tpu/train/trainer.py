@@ -56,29 +56,67 @@ def make_phase_trainer(
     lr: float = 1e-3,
     height: Optional[int] = None,
     weighting_factor: float = 0.005,
+    mode: str = "phase",
+    model_variant: int = 0,
+    adacof_vars=None,
+    kernel_size: int = 5,
+    dilation: int = 1,
 ):
-    """PhaseNet training on (frame1, target, frame2) RGB NHWC triplets."""
+    """PhaseNet training on (frame1, target, frame2) RGB NHWC triplets.
+
+    mode='phase': num_img=2 (inputs f1, f2).
+    mode='fusion': frozen AdaCoF provides side inputs (train/trainer.py:78-99);
+      model_variant 0 -> num_img=4 (f1, f2, ada_warped1, ada_warped2),
+      model_variant 1 -> num_img=3 (f1, f2, ada_blended).
+    The target frame rides through the SAME pyramid pass (trainer.py:94-104).
+
+    Note: the reference's shipped trainer calls its model without threading the
+    target through (train/trainer.py:109 / architecture.py:41), which would
+    mis-group separate_vals and crash get_loss — unrunnable as shipped; this
+    is the evidently intended behavior.
+
+    Returns (state, step_fn, eval_fn, make_step) where make_step(m) builds a
+    hierarchical-training step predicting only the m coarsest levels, with the
+    remaining fine levels exchanged in from the target
+    (architecture.py:59-61, exchange range [0, height-m))."""
     height = height or max_pyr_height(h, w)
     filters = make_filters(h, w, height)
-    core = PhaseNetCore(num_img=2)
+    if mode == "fusion":
+        num_img = 4 if model_variant == 0 else 3
+        assert adacof_vars is not None, "fusion phase-training needs AdaCoF"
+        adacof = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+    else:
+        num_img = 2
+    core = PhaseNetCore(num_img=num_img)
     tx = optax.adam(lr)
 
     # init by tracing one forward at the real height
     dummy = jnp.zeros((3, h, w))
     vals = decompose(dummy, filters)
-    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    low, phases, amps = dec_ops.concat_for_net([vals] * num_img)
     lown, pn, an, _ = normalize_inputs(low, phases, amps)
     variables = core.init(rng, lown, pn, an)
     state = _init_state(variables["params"], variables["batch_stats"], tx)
 
     def forward(params, batch_stats, f1, f2, target, train: bool):
-        lab1 = _to_chan_batch(rgb_to_lab(f1))
-        lab2 = _to_chan_batch(rgb_to_lab(f2))
+        groups = [
+            _to_chan_batch(rgb_to_lab(f1)),
+            _to_chan_batch(rgb_to_lab(f2)),
+        ]
+        if mode == "fusion":
+            ada = adacof.apply(jax.lax.stop_gradient(adacof_vars), f1, f2)
+            if model_variant == 0:
+                groups.append(_to_chan_batch(rgb_to_lab(ada.warped0)))
+                groups.append(_to_chan_batch(rgb_to_lab(ada.warped2)))
+            else:
+                groups.append(_to_chan_batch(rgb_to_lab(ada.blended)))
         labt = _to_chan_batch(rgb_to_lab(target))
-        # one pyramid pass for inputs AND target (trainer.py:94-104)
-        vals = decompose(jnp.concatenate([lab1, lab2, labt], 0), filters)
-        v1, v2, vt = dec_ops.split_frames(vals, 3)
-        low, phases, amps = dec_ops.concat_for_net([v1, v2])
+        groups.append(labt)
+        # one pyramid pass for inputs AND target
+        vals = decompose(jnp.concatenate(groups, 0), filters)
+        parts = dec_ops.split_frames(vals, len(groups))
+        vt = parts[-1]
+        low, phases, amps = dec_ops.concat_for_net(parts[:-1])
         lown, pn, an, norm = normalize_inputs(low, phases, amps)
         out, updates = core.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -89,29 +127,43 @@ def make_phase_trainer(
             mutable=["batch_stats"] if train else [],
         )
         lo, pp, ap = out
-        dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(v1.high))
-        pred_img = reconstruct(dec, filters)
+        dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(vt.high))
         new_stats = updates.get("batch_stats", batch_stats) if train else batch_stats
-        return pred_img, labt, dec, vt, new_stats
+        return labt, dec, vt, new_stats
 
-    def loss_fn(params, batch_stats, batch):
-        f1, target, f2 = batch
-        pred_img, labt, dec, vt, new_stats = forward(
-            params, batch_stats, f1, f2, target, train=True
-        )
-        total, parts = phase_net_loss(pred_img, labt, dec, vt, weighting_factor)
-        return total, (parts, new_stats)
+    def make_step(m: Optional[int] = None):
+        """Build a step; hierarchical training exchanges the finest
+        [0, height - m) prediction levels with the target's decomposition
+        before reconstructing (architecture.py:59-61), so gradients focus on
+        the m coarsest levels."""
+        ex_end = 0 if m is None else min(max(height - m, 0), height - 2)
 
-    def step_fn(state: TrainState, batch):
-        (loss, (parts, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.extra, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, **parts}
-        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
+        def loss_fn(params, batch_stats, batch):
+            f1, target, f2 = batch
+            labt, dec, vt, new_stats = forward(
+                params, batch_stats, f1, f2, target, train=True
+            )
+            if ex_end > 0:
+                dec = dec_ops.exchange_levels(dec, vt, 0, ex_end)
+            pred_img = reconstruct(dec, filters)
+            total, parts = phase_net_loss(pred_img, labt, dec, vt, weighting_factor)
+            return total, (parts, new_stats)
+
+        def step_fn(state: TrainState, batch):
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.extra, batch)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, **parts}
+            return TrainState(params, new_stats, opt_state, state.step + 1), metrics
+
+        return step_fn
+
+    step_fn = make_step(None)
 
     def eval_fn(state: TrainState, f1, f2):
+        assert mode == "phase", "eval_fn is the 2-frame (phase-mode) path"
         lab1 = _to_chan_batch(rgb_to_lab(f1))
         lab2 = _to_chan_batch(rgb_to_lab(f2))
         vals = decompose(jnp.concatenate([lab1, lab2], 0), filters)
@@ -124,7 +176,7 @@ def make_phase_trainer(
         dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(v1.high))
         return reconstruct(dec, filters)
 
-    return state, step_fn, eval_fn
+    return state, step_fn, eval_fn, make_step
 
 
 # ---------------------------------------------------------------- AdaCoF

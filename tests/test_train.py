@@ -74,7 +74,7 @@ def test_adacof_train_step_reduces_loss():
 
 
 def test_phase_train_step_reduces_loss():
-    state, step, eval_fn = make_phase_trainer(jax.random.key(0), 64, 64, lr=1e-3)
+    state, step, eval_fn, make_step = make_phase_trainer(jax.random.key(0), 64, 64, lr=1e-3)
     batch = _triplet_batch(1, 64, 64)
     jstep = jax.jit(step)
     state, m0 = jstep(state, batch)
@@ -110,3 +110,33 @@ def test_fusion_train_step_runs():
     state, m2 = jax.jit(step)(state, batch)
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert int(state.step) == 2
+
+
+def test_phase_fusion_mode_and_hierarchical():
+    """Fusion phase-training variants (num_img 3/4) + hierarchical-m step."""
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+
+    rng = jax.random.key(0)
+    h = w = 64
+    ada_vars = AdaCoFNet(3, 1).init(
+        rng, jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3))
+    )
+    for variant in (0, 1):
+        state, step, eval_fn, make_step = __import__(
+            "fmvfi_tpu.train.trainer", fromlist=["make_phase_trainer"]
+        ).make_phase_trainer(
+            rng, h, w, mode="fusion", model_variant=variant,
+            adacof_vars=ada_vars, kernel_size=3,
+        )
+        batch = _triplet_batch(1, h, w)
+        state, m = jax.jit(step)(state, batch)
+        assert np.isfinite(float(m["loss"]))
+
+    # hierarchical: m=3 -> finest levels exchanged from target, loss finite
+    state, step, eval_fn, make_step = __import__(
+        "fmvfi_tpu.train.trainer", fromlist=["make_phase_trainer"]
+    ).make_phase_trainer(rng, h, w)
+    hstep = make_step(3)
+    batch = _triplet_batch(1, h, w)
+    state, m = jax.jit(hstep)(state, batch)
+    assert np.isfinite(float(m["loss"]))
