@@ -35,6 +35,8 @@ def main():
         "--pipeline", default="fusion", choices=["fusion", "phase", "adacof"]
     )
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
+                    help="compute dtype for the conv nets (warp/pyramid stay fp32)")
     args = ap.parse_args()
 
     import jax
@@ -58,8 +60,13 @@ def main():
     weights = _fusion_weights(h, w)
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
 
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else None
     if args.pipeline == "fusion":
-        raw = jax.jit(lambda a, b: fusion_interpolate(weights, a, b, filters=filters))
+        raw = jax.jit(
+            lambda a, b: fusion_interpolate(
+                weights, a, b, filters=filters, compute_dtype=cdt
+            )
+        )
     elif args.pipeline == "phase":
         raw = jax.jit(
             lambda a, b: phase_interpolate(weights.phase_net, a, b, filters=filters)

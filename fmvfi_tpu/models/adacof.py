@@ -41,90 +41,101 @@ def module_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 class _Basic(nn.Module):
     c_out: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(3):
-            x = nn.Conv(self.c_out, (3, 3), padding="SAME", name=f"conv{i}")(x)
+            x = nn.Conv(self.c_out, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv{i}")(x)
             x = nn.relu(x)
         return x
 
 
 class _Upsample(nn.Module):
     c: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = upsample2x(x, align_corners=True)
-        x = nn.Conv(self.c, (3, 3), padding="SAME", name="conv")(x)
+        x = nn.Conv(self.c, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
         return nn.relu(x)
 
 
 class _SubnetOffset(nn.Module):
     ks: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
-        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", name="conv2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
         x = upsample2x(x, align_corners=True)
-        return nn.Conv(self.ks, (3, 3), padding="SAME", name="conv3")(x)
+        return nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x).astype(jnp.float32)
 
 
 class _SubnetWeight(nn.Module):
     ks: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
-        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", name="conv2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
         x = upsample2x(x, align_corners=True)
-        x = nn.Conv(self.ks, (3, 3), padding="SAME", name="conv3")(x)
-        return nn.softmax(x, axis=-1)
+        x = nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x)
+        return nn.softmax(x.astype(jnp.float32), axis=-1)
 
 
 class _SubnetOcclusion(nn.Module):
+    dtype: object = None
+
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv0")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv1")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="conv2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
         x = upsample2x(x, align_corners=True)
-        return nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME", name="conv3")(x))
+        return nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x).astype(jnp.float32))
 
 
 class KernelEstimation(nn.Module):
     kernel_size: int
+    dtype: object = None  # e.g. jnp.bfloat16 for MXU-rate inference
 
     @nn.compact
     def __call__(self, f0: jnp.ndarray, f2: jnp.ndarray):
         ks = self.kernel_size**2
+        dt = self.dtype
         x = jnp.concatenate([f0, f2], axis=-1)
+        if dt is not None:
+            x = x.astype(dt)
 
-        c1 = _Basic(32, name="conv1")(x)
-        c2 = _Basic(64, name="conv2")(avg_pool2(c1))
-        c3 = _Basic(128, name="conv3")(avg_pool2(c2))
-        c4 = _Basic(256, name="conv4")(avg_pool2(c3))
-        c5 = _Basic(512, name="conv5")(avg_pool2(c4))
+        c1 = _Basic(32, dt, name="conv1")(x)
+        c2 = _Basic(64, dt, name="conv2")(avg_pool2(c1))
+        c3 = _Basic(128, dt, name="conv3")(avg_pool2(c2))
+        c4 = _Basic(256, dt, name="conv4")(avg_pool2(c3))
+        c5 = _Basic(512, dt, name="conv5")(avg_pool2(c4))
 
-        d5 = _Basic(512, name="deconv5")(avg_pool2(c5))
-        u5 = _Upsample(512, name="upsample5")(d5) + c5
-        d4 = _Basic(256, name="deconv4")(u5)
-        u4 = _Upsample(256, name="upsample4")(d4) + c4
-        d3 = _Basic(128, name="deconv3")(u4)
-        u3 = _Upsample(128, name="upsample3")(d3) + c3
-        d2 = _Basic(64, name="deconv2")(u3)
-        u2 = _Upsample(64, name="upsample2")(d2) + c2
+        d5 = _Basic(512, dt, name="deconv5")(avg_pool2(c5))
+        u5 = _Upsample(512, dt, name="upsample5")(d5) + c5
+        d4 = _Basic(256, dt, name="deconv4")(u5)
+        u4 = _Upsample(256, dt, name="upsample4")(d4) + c4
+        d3 = _Basic(128, dt, name="deconv3")(u4)
+        u3 = _Upsample(128, dt, name="upsample3")(d3) + c3
+        d2 = _Basic(64, dt, name="deconv2")(u3)
+        u2 = _Upsample(64, dt, name="upsample2")(d2) + c2
 
-        w1 = _SubnetWeight(ks, name="weight1")(u2)
-        a1 = _SubnetOffset(ks, name="alpha1")(u2)
-        b1 = _SubnetOffset(ks, name="beta1")(u2)
-        w2 = _SubnetWeight(ks, name="weight2")(u2)
-        a2 = _SubnetOffset(ks, name="alpha2")(u2)
-        b2 = _SubnetOffset(ks, name="beta2")(u2)
-        occ = _SubnetOcclusion(name="occlusion")(u2)
+        w1 = _SubnetWeight(ks, dt, name="weight1")(u2)
+        a1 = _SubnetOffset(ks, dt, name="alpha1")(u2)
+        b1 = _SubnetOffset(ks, dt, name="beta1")(u2)
+        w2 = _SubnetWeight(ks, dt, name="weight2")(u2)
+        a2 = _SubnetOffset(ks, dt, name="alpha2")(u2)
+        b2 = _SubnetOffset(ks, dt, name="beta2")(u2)
+        occ = _SubnetOcclusion(dt, name="occlusion")(u2)
         return w1, a1, b1, w2, a2, b2, occ
 
 
@@ -150,6 +161,7 @@ class AdaCoFNet(nn.Module):
     kernel_size: int = 5
     dilation: int = 1
     use_pallas: bool | None = None
+    dtype: object = None  # compute dtype for the kernel-estimation U-Net
 
     def _warp(self, x, w, a, b):
         use = self.use_pallas
@@ -174,7 +186,7 @@ class AdaCoFNet(nn.Module):
             frame2 = jnp.pad(frame2, pad, mode="reflect")
 
         w1, a1, b1, w2, a2, b2, occ = KernelEstimation(
-            self.kernel_size, name="get_kernel"
+            self.kernel_size, self.dtype, name="get_kernel"
         )(module_normalize(frame0), module_normalize(frame2))
 
         kp = ((self.kernel_size - 1) * self.dilation) // 2

@@ -21,16 +21,17 @@ import jax.numpy as jnp
 from ..ops.resize import max_pool2, upsample2x
 
 
-def _rconv(x, c_out, k, name):
+def _rconv(x, c_out, k, name, dtype=None):
     pad = k // 2
     if pad:
         x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
-    return nn.Conv(c_out, (k, k), padding="VALID", name=name)(x)
+    return nn.Conv(c_out, (k, k), padding="VALID", dtype=dtype, name=name)(x)
 
 
 class FusionNet(nn.Module):
     num_imgs: int = 5  # base, adacof, phase, frame1, frame2
     uncertainty_maps: int = 3
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(
@@ -50,22 +51,24 @@ class FusionNet(nn.Module):
             assert maps is not None and maps.shape[-1] == self.uncertainty_maps
             parts.append(maps)
         x = jnp.concatenate(parts, axis=-1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         enc_specs = [(32, 5), (64, 5), (128, 3)]
         skips = []
         for i, (c, k) in enumerate(enc_specs):
-            x = nn.relu(_rconv(x, c, k, f"enc{i}"))
+            x = nn.relu(_rconv(x, c, k, f"enc{i}", self.dtype))
             skips.append(x)
             x = max_pool2(x)
 
-        x = _rconv(x, 128, 3, "bottleneck")
+        x = _rconv(x, 128, 3, "bottleneck", self.dtype)
 
         dec_specs = [(64, 5), (32, 5), (3, 1)]
         for i, ((c, k), s) in enumerate(zip(dec_specs, skips[::-1])):
             x = upsample2x(nn.relu(x), align_corners=False)
             x = x + s
-            x = _rconv(x, c, k, f"dec{i}")
+            x = _rconv(x, c, k, f"dec{i}", self.dtype)
 
-        res = jnp.tanh(x)
+        res = jnp.tanh(x.astype(jnp.float32))
         out = phase + res if variant == 1 else base + res
         return jnp.clip(out, 0.0, 1.0)

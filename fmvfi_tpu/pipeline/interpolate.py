@@ -108,6 +108,7 @@ def fusion_interpolate(
     height: Optional[int] = None,
     return_parts: bool = False,
     filters=None,
+    compute_dtype=None,
 ):
     """The full fusion pipeline (trainer.predict / interp, §3.3 of SURVEY):
 
@@ -124,7 +125,9 @@ def fusion_interpolate(
     b, h, w, _ = frame1.shape
     if filters is None:
         filters = make_filters(h, w, height or max_pyr_height(h, w))
-    adacof = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+    adacof = AdaCoFNet(
+        kernel_size=kernel_size, dilation=dilation, dtype=compute_dtype
+    )
 
     # 1. AdaCoF
     ada_out = adacof.apply(weights.adacof, frame1, frame2)
@@ -173,7 +176,7 @@ def fusion_interpolate(
     # [ada_unc, phase_unc, flow_var] (trainer.py:210)
     other = jnp.concatenate([lab1, lab2], axis=-1)
     maps = jnp.stack([ada_uncertainty, phase_uncertainty, flow_var_map], axis=-1)
-    fusion = FusionNet()
+    fusion = FusionNet(dtype=compute_dtype)
     final = fusion.apply(
         weights.fusion_net, base, ada_pred, phase_pred, other, maps, 0
     )
@@ -187,12 +190,29 @@ def fusion_interpolate(
     return final
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "dilation", "height"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "dilation", "height", "compute_dtype"),
+)
 def fusion_interpolate_jit(
-    weights, frame1, frame2, kernel_size=5, dilation=1, height=None, filters=None
+    weights,
+    frame1,
+    frame2,
+    kernel_size=5,
+    dilation=1,
+    height=None,
+    filters=None,
+    compute_dtype=None,
 ):
     return fusion_interpolate(
-        weights, frame1, frame2, kernel_size, dilation, height, filters=filters
+        weights,
+        frame1,
+        frame2,
+        kernel_size,
+        dilation,
+        height,
+        filters=filters,
+        compute_dtype=compute_dtype,
     )
 
 
