@@ -1,0 +1,40 @@
+"""Spatial (height-axis) sharding for high-resolution inference.
+
+The reference's answer to large frames was per-RGB-channel chunked inference
+and center-cropping (SURVEY §5 "long-context").  The TPU-native answer: shard
+the image HEIGHT across chips and let XLA's SPMD partitioner insert the halo
+exchanges for convolutions and the collectives for FFTs — no hand-written
+communication, same numerics.
+
+Use for frames too large for one chip's HBM or to cut per-frame latency
+across a pod slice.  (With a 1-D mesh the same axis is reused; a 2-D
+(data, spatial) mesh composes batch and height sharding.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_image_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """NHWC with H sharded across the mesh axis."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
+def spatial_apply(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """Wrap `out = fn(weights, frame1, frame2)` so frames (NHWC) are H-sharded
+    and weights replicated; XLA SPMD partitions the graph (conv halos,
+    FFT collectives) automatically."""
+    rep = NamedSharding(mesh, P())
+    sh = spatial_image_sharding(mesh, axis)
+    jfn = jax.jit(fn, in_shardings=(rep, sh, sh), out_shardings=sh)
+
+    def wrapper(weights, f1, f2):
+        f1 = jax.device_put(f1, sh)
+        f2 = jax.device_put(f2, sh)
+        return jfn(jax.device_put(weights, rep), f1, f2)
+
+    return wrapper

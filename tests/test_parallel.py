@@ -1,6 +1,7 @@
 """Data-parallel sharding tests on the 8-virtual-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -62,3 +63,59 @@ def test_dp_inference_sharded_batch():
     assert out.shape == (8, 32, 32, 3)
     # output really is sharded over the batch axis
     assert len(out.sharding.device_set) == 8
+
+
+def test_spatial_sharded_adacof_matches_unsharded():
+    """H-axis sharding via XLA SPMD (halo exchange inserted automatically)
+    must reproduce single-device results."""
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.parallel.spatial import spatial_apply
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    h, w = 64, 64  # H=64 sharded 8 ways
+    f1 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    model = AdaCoFNet(kernel_size=3)
+    variables = model.init(jax.random.key(0), f1, f2)
+
+    def infer(weights, a, b):
+        return model.apply(weights, a, b).blended
+
+    ref = jax.jit(infer)(variables, f1, f2)
+    sharded = spatial_apply(infer, mesh)(variables, f1, f2)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=2e-5)
+    assert len(sharded.sharding.device_set) == 8
+
+
+@pytest.mark.xfail(
+    reason="XLA CPU fft_thunk rejects the transposed layouts SPMD produces "
+    "(LayoutUtil::IsMonotonicWithDim0Major RET_CHECK); TPU-only path",
+    strict=False,
+)
+def test_spatial_sharded_phase_interpolate():
+    """The FFT-heavy phase pipeline also partitions correctly."""
+    from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
+    from fmvfi_tpu.ops import decomp as dec_ops
+    from fmvfi_tpu.ops.pyramid import decompose, make_filters, max_pyr_height
+    from fmvfi_tpu.parallel.spatial import spatial_apply
+    from fmvfi_tpu.pipeline.interpolate import phase_interpolate
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    h = w = 64
+    filters = make_filters(h, w, max_pyr_height(h, w))
+    vals = decompose(jnp.zeros((3, h, w)), filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    pv = PhaseNetCore(num_img=2).init(jax.random.key(0), lown, pn, an)
+
+    f1 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+
+    def infer(weights, a, b):
+        return phase_interpolate(weights, a, b)
+
+    ref = jax.jit(infer)(pv, f1, f2)
+    sharded = spatial_apply(infer, mesh)(pv, f1, f2)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=5e-5)
