@@ -4,11 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Methodology notes (important on this environment):
-- Device->host transfers through the axon tunnel run at ~0.1 MB/s and
-  block_until_ready does NOT wait for *independent* dispatches here, so the
-  loop CHAINS each iteration on the previous device output (out feeds the
-  next input) and blocks once at the end — honest wall-clock per frame,
-  inputs/outputs resident in HBM (as in a production serving loop).
+- On this platform block_until_ready does not reliably wait, so the loop
+  CHAINS each iteration on the previous device output (out feeds the next
+  input) and the barrier is a one-scalar device->host read at the end —
+  honest wall-clock per frame, frames resident in HBM (as in a production
+  serving loop), barrier cost amortized over the frame count.
 - The reference publishes no numbers (BASELINE.md) and its CUDA pipeline
   cannot run here, so `vs_baseline` is measured fps divided by the DRIVER
   TARGET of 2x an estimated 1.0 fps for the reference pipeline at 1080p on
@@ -77,16 +77,16 @@ def main():
     a = jnp.asarray(frames[0][None])
     b = jnp.asarray(frames[1][None])
 
-    # warmup/compile
+    # warmup/compile (scalar read = real execution barrier)
     out = raw(a, b)
-    jax.block_until_ready(out)
+    _ = float(out[0, 0, 0, 0])
 
     # timed: chain on the device (each iteration consumes the previous output)
     t0 = time.perf_counter()
     x = out
     for _ in range(args.frames):
         x = raw(x, b)
-    jax.block_until_ready(x)
+    _ = float(x[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     fps = args.frames / dt
 

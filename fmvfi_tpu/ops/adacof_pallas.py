@@ -10,9 +10,9 @@ the hardware's actual gather capability:
 - the VERTICAL axis walks integer-offset candidates with per-(tap, block)
   dynamic bounds (min/max of the offset field), so smooth offset fields cost
   ~2-4 candidates instead of 2R;
-- the whole replicate-padded channel image stays resident in VMEM across the
-  row-block and tap grid dimensions (8.5 MB at 1080p), so HBM traffic is
-  weights/offsets streaming only.
+- the image stays in HBM; each row-block DMAs its (tile_h + 2R + Fd)-row band
+  into VMEM scratch once and reuses it across all F^2 taps (the whole 1080p
+  image would not fit VMEM double-buffered).
 
 Semantics match the reference CUDA kernel (cupy_module/adacof.py:6-65):
 truncation-toward-zero corners, fractional weights from the *unclamped*
@@ -44,13 +44,29 @@ def _trunc(x):
     return jnp.where(x >= 0, jnp.floor(x), -jnp.floor(-x))
 
 
-def _kernel(w_ref, a_ref, b_ref, x_ref, o_ref, *, F, dilation, R, tile_h, w_out):
-    """One (channel-image, row-block, tap) program."""
-    t = pl.program_id(2)
+def _kernel(
+    w_ref, a_ref, b_ref, x_ref, o_ref, xband, sem, *, F, dilation, R, tile_h, w_out
+):
+    """One (channel-image, row-block, tap) program.
+
+    x_ref lives in HBM; the row band this block can touch (bounded by R) is
+    DMA'd into the `xband` VMEM scratch once per row-block (at tap 0) and
+    reused across all F^2 taps — the whole image never occupies VMEM."""
+    n = pl.program_id(0)
     rb = pl.program_id(1)
+    t = pl.program_id(2)
     kd = (t // F) * dilation  # vertical tap base offset
     ld = jax.lax.rem(t, F) * dilation  # horizontal tap base offset
     row0 = rb * tile_h
+
+    @pl.when(t == 0)
+    def _():
+        band_h = xband.shape[0]
+        cp = pltpu.make_async_copy(
+            x_ref.at[n, pl.ds(row0, band_h), :], xband, sem
+        )
+        cp.start()
+        cp.wait()
 
     w = w_ref[0, 0]  # (tile_h, W)
     alpha = jnp.clip(a_ref[0, 0], -R, R)
@@ -75,15 +91,17 @@ def _kernel(w_ref, a_ref, b_ref, x_ref, o_ref, *, F, dilation, R, tile_h, w_out)
     def body(p, acc):
         # vertical blend weight for candidate row p (covers both corners)
         vw = jnp.where(Ai == p, 1.0 - fi, 0.0) + jnp.where(Ai == p - 1, fi, 0.0)
-        # source rows [row0 + kd + p, + tile_h): Mosaic needs 8-aligned dynamic
-        # sublane starts, so load an aligned slab and realign with a dynamic
-        # sublane roll.
-        s = row0 + kd + p
+        # band-relative source rows [kd + p, + tile_h): Mosaic needs 8-aligned
+        # dynamic sublane starts, so load an aligned slab and realign with a
+        # dynamic sublane roll.  NOTE: dynamic-shift pltpu.roll silently
+        # corrupts data beyond 16 sublanes on v5e, so tile_h stays <= 8
+        # (slab = 16 rows).
+        s = kd + p
         start = (s // 8) * 8
         r = s - start
         cols = []
         for c in range(n_ctiles):
-            slab_a = x_ref[0, pl.ds(start, tile_h + 8), pl.ds(c * 128, 256)]
+            slab_a = xband[pl.ds(start, tile_h + 8), pl.ds(c * 128, 256)]
             slab = pltpu.roll(slab_a, -r, axis=0)[0:tile_h]
             tile0 = slab[:, 0:128]
             tile1 = slab[:, 128:256]
@@ -143,6 +161,8 @@ def _warp_pallas_planar(
         lambda n, rb, t: (t, n, rb, 0),
         memory_space=pltpu.VMEM,
     )
+    # rows a block can touch: [rb*tile_h, rb*tile_h + band_h) in padded coords
+    band_h = Hp - H + tile_h
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -150,15 +170,17 @@ def _warp_pallas_planar(
             field_spec,
             field_spec,
             field_spec,
-            # whole padded image resident across row-blocks and taps
-            pl.BlockSpec(
-                (1, Hp, Wp), lambda n, rb, t: (n, 0, 0), memory_space=pltpu.VMEM
-            ),
+            # image stays in HBM; the kernel DMAs row bands into scratch
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, W), lambda n, rb, t: (n, rb, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((band_h, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(weight, offset_i, offset_j, x_pad)
 
@@ -170,7 +192,7 @@ def adacof_warp_pallas(
     offset_j: jnp.ndarray,
     dilation: int = 1,
     max_offset: int = 31,
-    tile_h: int = 32,
+    tile_h: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.adacof.adacof_warp (same pre-padded-input contract:
