@@ -162,6 +162,8 @@ class AdaCoFNet(nn.Module):
     dilation: int = 1
     use_pallas: bool | None = None
     dtype: object = None  # compute dtype for the kernel-estimation U-Net
+    with_stats: bool = True  # flow mean/var + uncertainty (skip for the
+    # baseline composite passes that only consume .blended)
 
     def _warp(self, x, w, a, b):
         use = self.use_pallas
@@ -194,13 +196,18 @@ class AdaCoFNet(nn.Module):
         warped2 = self._warp(pad_replicate(frame2, kp), w2, a2, b2)
         blended = occ * warped0 + (1.0 - occ) * warped2
 
-        mean1, var1 = flow_stats(w1, a1, b1)
-        mean2, var2 = flow_stats(w2, a2, b2)
-        # UncertaintyMask (fusion_adacofnet.py:211-213): max of summed variance
-        # components, clipped to [0, 20], scaled to [0, 1]; detached.
-        unc = jnp.maximum(var1.sum(-1), var2.sum(-1))
-        unc = jnp.clip(unc, 0.0, 20.0) / 20.0
-        unc = jax.lax.stop_gradient(unc)[..., None]
+        if self.with_stats:
+            mean1, var1 = flow_stats(w1, a1, b1)
+            mean2, var2 = flow_stats(w2, a2, b2)
+            # UncertaintyMask (fusion_adacofnet.py:211-213): max of summed
+            # variance components, clipped to [0, 20], scaled to [0,1]; detached.
+            unc = jnp.maximum(var1.sum(-1), var2.sum(-1))
+            unc = jnp.clip(unc, 0.0, 20.0) / 20.0
+            unc = jax.lax.stop_gradient(unc)[..., None]
+        else:
+            z2 = jnp.zeros(frame0.shape[:3] + (2,), frame0.dtype)
+            mean1 = mean2 = var1 = var2 = z2
+            unc = jnp.zeros(frame0.shape[:3] + (1,), frame0.dtype)
 
         def crop(x):
             return x[:, :h0, :w0]

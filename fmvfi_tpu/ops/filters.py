@@ -68,6 +68,31 @@ def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
     )
 
 
+def median_filter_fast(
+    img: jnp.ndarray, size: int = 50, nbins: int = 512, downsample: int = 2
+) -> jnp.ndarray:
+    """Throughput variant: compute the rank filter on a `downsample`x
+    box-reduced image (window size/downsample) and bilinearly upsample the
+    result.  Median maps of natural images are extremely smooth at 50px
+    windows, so the deviation is tiny (see tests) for a ~4x cost cut."""
+    if downsample == 1:
+        return median_filter(img, size, nbins)
+    d = downsample
+    h, w = img.shape[-2], img.shape[-1]
+    hpad, wpad = (-h) % d, (-w) % d
+    x = jnp.pad(
+        img, [(0, 0)] * (img.ndim - 2) + [(0, hpad), (0, wpad)], mode="symmetric"
+    )
+    hd, wd = x.shape[-2] // d, x.shape[-1] // d
+    x = x.reshape(x.shape[:-2] + (hd, d, wd, d)).mean(axis=(-3, -1))
+    m = median_filter(x, max(size // d, 3), nbins)
+    # bilinear upsample back (align_corners=False semantics) and crop
+    from .resize import resize_bilinear
+
+    m = resize_bilinear(m[..., None], (hd * d, wd * d), align_corners=False)[..., 0]
+    return m[..., :h, :w]
+
+
 def median_filter(
     img: jnp.ndarray, size: int = 50, nbins: int = 1024, chunk: int = 32
 ) -> jnp.ndarray:

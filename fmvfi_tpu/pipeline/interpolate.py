@@ -28,7 +28,7 @@ from ..models.phase_net import (
 )
 from ..ops import decomp as dec_ops
 from ..ops.color import lab_to_rgb, rgb_to_lab
-from ..ops.filters import gaussian_blur, median_filter
+from ..ops.filters import gaussian_blur, median_filter, median_filter_fast
 from ..ops.pyramid import Decomp, decompose, make_filters, max_pyr_height, reconstruct
 
 
@@ -149,9 +149,16 @@ def fusion_interpolate(
     vals = decompose(rgb_batch, filters)
     vals_ada, vals_ph = dec_ops.split_frames(vals, 2)
 
-    # 3a. phase uncertainty: |finest-band-only reconstructions| difference
-    h_ada = reconstruct(dec_ops.keep_finest_levels(vals_ada, 1), filters)
-    h_ph = reconstruct(dec_ops.keep_finest_levels(vals_ph, 1), filters)
+    # 3a. phase uncertainty: |finest-band-only reconstructions| difference.
+    # Both frames' finest-band reconstructions come from ONE partial
+    # reconstruct (only level 0 + highpass are non-zero after keep_finest).
+    h_both = reconstruct(
+        dec_ops.keep_finest_levels(vals, 1),
+        filters,
+        active_levels=(0,),
+        use_low=False,
+    )
+    h_ada, h_ph = jnp.split(h_both, 2, axis=0)
     h_diff = jnp.abs(
         _from_chan_batch(h_ada).mean(-1) - _from_chan_batch(h_ph).mean(-1)
     )
@@ -159,18 +166,40 @@ def fusion_interpolate(
     phase_uncertainty = gaussian_blur(h_diff, 5.0)  # (B, H, W)
 
     # 3b. adacof artifact uncertainty: coarse-band difference minus its 50x50
-    # median, scaled (trainer.py:138-146)
+    # median, scaled (trainer.py:138-146); only the 6 coarsest levels + low
+    # are non-zero, so the partial reconstruct skips the expensive fine FFTs
+    nlev = len(vals.phase)
     vals_diff = dec_ops.keep_coarsest_levels(
         dec_ops.abs_difference(vals_ph, vals_ada), 6
     )
-    freq_diff = _from_chan_batch(reconstruct(vals_diff, filters)).mean(-1) * 30.0
-    freq_med = median_filter(freq_diff, size=50)
+    freq_diff = (
+        _from_chan_batch(
+            reconstruct(
+                vals_diff,
+                filters,
+                active_levels=tuple(range(nlev - 6, nlev)),
+                use_high=False,
+            )
+        ).mean(-1)
+        * 30.0
+    )
+    freq_med = median_filter_fast(freq_diff, size=50)
     ada_uncertainty = jnp.clip(jnp.abs(freq_diff - freq_med) * 5.0, 0.0, 1.0)
 
-    # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2))
-    in1 = adacof.apply(weights.adacof, frame1, phase_pred).blended
-    in2 = adacof.apply(weights.adacof, phase_pred, frame2).blended
-    base = adacof.apply(weights.adacof, in1, in2).blended
+    # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The first
+    # two passes are independent -> ONE batched call (B doubled); all three
+    # passes skip the flow-stats tail (only .blended is consumed).
+    adacof_lite = AdaCoFNet(
+        kernel_size=kernel_size,
+        dilation=dilation,
+        dtype=compute_dtype,
+        with_stats=False,
+    )
+    lhs = jnp.concatenate([frame1, phase_pred], axis=0)
+    rhs = jnp.concatenate([phase_pred, frame2], axis=0)
+    mids = adacof_lite.apply(weights.adacof, lhs, rhs).blended
+    in1, in2 = jnp.split(mids, 2, axis=0)
+    base = adacof_lite.apply(weights.adacof, in1, in2).blended
 
     # 5. FusionNet blend; other = Lab frames (trainer.py:208), maps order
     # [ada_unc, phase_unc, flow_var] (trainer.py:210)
