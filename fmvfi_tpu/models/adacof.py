@@ -63,6 +63,56 @@ class _Upsample(nn.Module):
         return nn.relu(x)
 
 
+def _conv3x3_tap_major(x_tm: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray):
+    """3x3 SAME conv over tap-major (K, B, H, W) data as 9 shifted (K_in, K_out)
+    tensordots — identical math to an NHWC conv, but the K=F^2(=25) axis never
+    sits on the 128-lane dimension where it would pad 5x at full resolution."""
+    k, b, h, w = x_tm.shape
+    xp = jnp.pad(x_tm, [(0, 0), (0, 0), (1, 1), (1, 1)])
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            m = kernel[dy, dx]  # (K_in, K_out) from HWIO
+            sl = xp[:, :, dy : dy + h, dx : dx + w]
+            term = jnp.tensordot(m, sl, axes=[[0], [0]])  # (K_out, B, H, W)
+            out = term if out is None else out + term
+    return out + bias[:, None, None, None]
+
+
+class _HeadFinal(nn.Module):
+    """Shared tail of every head subnet: 64->ks conv at half res, transpose to
+    tap-major, 2x upsample (align_corners=True), final 3x3 ks->ks conv in
+    tap-major layout.  Bit-equivalent to conv->upsample->conv in NHWC
+    (adacofnet.py:42-45), just layout-reordered for the TPU."""
+
+    ks: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
+        x = jnp.transpose(x, (3, 0, 1, 2))  # (ks, B, h, w) at HALF res
+        x = _resize_last2(x, x.shape[2] * 2, x.shape[3] * 2)
+        kernel = self.param(
+            "conv3_kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.ks, self.ks),
+            jnp.float32,
+        )
+        bias = self.param("conv3_bias", nn.initializers.zeros, (self.ks,), jnp.float32)
+        dt = self.dtype or jnp.float32
+        out = _conv3x3_tap_major(x.astype(dt), kernel.astype(dt), bias.astype(dt))
+        return out.astype(jnp.float32)
+
+
+def _resize_last2(x, h_out, w_out):
+    """Bilinear (align_corners=True) over the last two axes of (K, B, h, w)."""
+    from ..ops.resize import _resize_axis
+
+    x = _resize_axis(x, x.ndim - 2, h_out, True)
+    return _resize_axis(x, x.ndim - 1, w_out, True)
+
+
 class _SubnetOffset(nn.Module):
     ks: int
     dtype: object = None
@@ -71,9 +121,7 @@ class _SubnetOffset(nn.Module):
     def __call__(self, x):
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x))
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x))
-        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
-        x = upsample2x(x, align_corners=True)
-        return nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x).astype(jnp.float32)
+        return _HeadFinal(self.ks, self.dtype, name="final")(x)  # tap-major
 
 
 class _SubnetWeight(nn.Module):
@@ -84,10 +132,8 @@ class _SubnetWeight(nn.Module):
     def __call__(self, x):
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(x))
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x))
-        x = nn.relu(nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x))
-        x = upsample2x(x, align_corners=True)
-        x = nn.Conv(self.ks, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x)
-        return nn.softmax(x.astype(jnp.float32), axis=-1)
+        x = _HeadFinal(self.ks, self.dtype, name="final")(x)  # tap-major
+        return nn.softmax(x, axis=0)  # over taps (leading axis)
 
 
 class _SubnetOcclusion(nn.Module):
@@ -147,7 +193,8 @@ class AdaCoFOutputs(NamedTuple):
     occlusion: jnp.ndarray  # (B,H,W,1)
     mean_flow: Tuple[jnp.ndarray, jnp.ndarray]  # per frame (B,H,W,2)
     var_flow: Tuple[jnp.ndarray, jnp.ndarray]
-    heads: Tuple[jnp.ndarray, ...]  # raw (w1, a1, b1, w2, a2, b2) at padded res
+    heads: Tuple[jnp.ndarray, ...]  # raw (w1,a1,b1,w2,a2,b2), TAP-MAJOR
+    # (F^2, B, H, W) at padded res — the layout the warp kernel consumes
     occ_raw: jnp.ndarray  # occlusion at padded res (for smoothness penalty)
 
 
@@ -165,15 +212,17 @@ class AdaCoFNet(nn.Module):
     with_stats: bool = True  # flow mean/var + uncertainty (skip for the
     # baseline composite passes that only consume .blended)
 
-    def _warp(self, x, w, a, b):
+    def _warp(self, x, w_tm, a_tm, b_tm):
+        """Warp with TAP-MAJOR fields (K, B, H, W)."""
         use = self.use_pallas
         if use is None:
             use = jax.default_backend() == "tpu"
         if use:
-            from ..ops.adacof_pallas import adacof_warp_fast
+            from ..ops.adacof_pallas import adacof_warp_fast_tm
 
-            return adacof_warp_fast(x, w, a, b, self.dilation)
-        return adacof_warp(x, w, a, b, self.dilation)
+            return adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, self.dilation)
+        to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
+        return adacof_warp(x, to_nhwc(w_tm), to_nhwc(a_tm), to_nhwc(b_tm), self.dilation)
 
     @nn.compact
     def __call__(self, frame0: jnp.ndarray, frame2: jnp.ndarray) -> AdaCoFOutputs:
@@ -197,8 +246,8 @@ class AdaCoFNet(nn.Module):
         blended = occ * warped0 + (1.0 - occ) * warped2
 
         if self.with_stats:
-            mean1, var1 = flow_stats(w1, a1, b1)
-            mean2, var2 = flow_stats(w2, a2, b2)
+            mean1, var1 = flow_stats_tm(w1, a1, b1)
+            mean2, var2 = flow_stats_tm(w2, a2, b2)
             # UncertaintyMask (fusion_adacofnet.py:211-213): max of summed
             # variance components, clipped to [0, 20], scaled to [0,1]; detached.
             unc = jnp.maximum(var1.sum(-1), var2.sum(-1))
@@ -225,6 +274,15 @@ class AdaCoFNet(nn.Module):
         )
 
 
+def flow_stats_tm(weight, offset_i, offset_j):
+    """flow_stats for tap-major (K, B, H, W) fields -> (B, H, W, 2) each."""
+    mi = jnp.sum(weight * offset_i, axis=0)
+    mj = jnp.sum(weight * offset_j, axis=0)
+    vi = jnp.sum(weight * (mi[None] - offset_i) ** 2, axis=0)
+    vj = jnp.sum(weight * (mj[None] - offset_j) ** 2, axis=0)
+    return jnp.stack([mi, mj], axis=-1), jnp.stack([vi, vj], axis=-1)
+
+
 def smoothness_penalties(w1, a1, b1, w2, a2, b2, occ, eps: float = 1e-3):
     """Training regularizers g_Spatial / g_Occlusion (adacofnet.py:202-217):
     Charbonnier of finite differences of the weighted-mean offset fields and
@@ -238,11 +296,12 @@ def smoothness_penalties(w1, a1, b1, w2, a2, b2, occ, eps: float = 1e-3):
             m[:, :-1, :] - m[:, 1:, :]
         )
 
-    # NOTE: mean (not sum) over taps, matching adacofnet.py:203-206
-    m1_i = jnp.mean(w1 * a1, axis=-1)
-    m1_j = jnp.mean(w1 * b1, axis=-1)
-    m2_i = jnp.mean(w2 * a2, axis=-1)
-    m2_j = jnp.mean(w2 * b2, axis=-1)
+    # NOTE: mean (not sum) over taps, matching adacofnet.py:203-206.
+    # Fields are tap-major (K, B, H, W).
+    m1_i = jnp.mean(w1 * a1, axis=0)
+    m1_j = jnp.mean(w1 * b1, axis=0)
+    m2_i = jnp.mean(w2 * a2, axis=0)
+    m2_j = jnp.mean(w2 * b2, axis=0)
     g_spatial = (
         grad_penalty(m1_i) + grad_penalty(m1_j) + grad_penalty(m2_i) + grad_penalty(m2_j)
     )

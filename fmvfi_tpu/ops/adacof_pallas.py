@@ -148,9 +148,10 @@ def _warp_pallas_planar(
     interpret: bool,
 ) -> jnp.ndarray:
     N, Hp, Wp = x_pad.shape
-    F2, _, H, W = weight.shape
+    F2, NB, H, W = weight.shape
     F = int(math.isqrt(F2))
     R = max_offset
+    C = N // NB  # channels share one field set; index_map folds n -> batch
     grid = (N, H // tile_h, F2)
 
     kernel = functools.partial(
@@ -158,7 +159,7 @@ def _warp_pallas_planar(
     )
     field_spec = pl.BlockSpec(
         (1, 1, tile_h, W),
-        lambda n, rb, t: (t, n, rb, 0),
+        lambda n, rb, t: (t, n // C, rb, 0),
         memory_space=pltpu.VMEM,
     )
     # rows a block can touch: [rb*tile_h, rb*tile_h + band_h) in padded coords
@@ -194,12 +195,17 @@ def adacof_warp_pallas(
     max_offset: int = 31,
     tile_h: int = 8,
     interpret: bool = False,
+    tap_major: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.adacof.adacof_warp (same pre-padded-input contract:
     x (B, H_in, W_in, C) with H_in = H + (F-1)*dilation), offsets clamped to
-    +-max_offset."""
+    +-max_offset.  With tap_major=True the fields are (F2, B, H, W) — the
+    layout KernelEstimation produces — and no transposes happen at all."""
     Bn, H_in, W_in, C = x.shape
-    _, H, W, F2 = weight.shape
+    if tap_major:
+        F2, _, H, W = weight.shape
+    else:
+        _, H, W, F2 = weight.shape
     F = int(math.isqrt(F2))
     R = max_offset
     assert H_in - ((F - 1) * dilation + 1) == H - 1
@@ -218,9 +224,14 @@ def adacof_warp_pallas(
     xp = jnp.pad(xp, [(0, 0), (R, Hp - H_in - R), (R, Wp - W_in - R)], mode="edge")
 
     def pad_fields(f):
+        if tap_major:
+            return jnp.pad(
+                f, [(0, 0), (0, 0), (0, Ht - H), (0, Wt - W)], mode="edge"
+            )
         f = jnp.pad(f, [(0, 0), (0, Ht - H), (0, Wt - W), (0, 0)], mode="edge")
-        f = jnp.repeat(f, C, axis=0)  # broadcast over channels
-        return jnp.transpose(f, (3, 0, 1, 2))  # tap-major (F2, B*C, Ht, Wt)
+        # tap-major (F2, B, Ht, Wt); channels share fields via the kernel's
+        # index_map (n // C), so no repeat-materialization
+        return jnp.transpose(f, (3, 0, 1, 2))
 
     wgt = pad_fields(weight)
     ai = pad_fields(offset_i)
@@ -262,3 +273,40 @@ def _bwd(dilation, max_offset, res, g):
 
 
 adacof_warp_fast.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, dilation=1, max_offset=31):
+    """Tap-major-field variant: fields (F2, B, H, W), zero transposes."""
+    return adacof_warp_pallas(
+        x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
+    )
+
+
+def _fwd_tm(x, w_tm, a_tm, b_tm, dilation, max_offset):
+    out = adacof_warp_pallas(
+        x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
+    )
+    return out, (x, w_tm, a_tm, b_tm)
+
+
+def _bwd_tm(dilation, max_offset, res, g):
+    x, w_tm, a_tm, b_tm = res
+    to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
+    _, vjp = jax.vjp(
+        lambda xx, ww, aa, bb: adacof_warp_jnp(
+            xx,
+            jnp.transpose(ww, (1, 2, 3, 0)),
+            jnp.transpose(aa, (1, 2, 3, 0)),
+            jnp.transpose(bb, (1, 2, 3, 0)),
+            dilation,
+        ),
+        x,
+        w_tm,
+        a_tm,
+        b_tm,
+    )
+    return vjp(g)
+
+
+adacof_warp_fast_tm.defvjp(_fwd_tm, _bwd_tm)

@@ -35,18 +35,34 @@ def _axis_weights(n_in: int, n_out: int, align_corners: bool):
     return i0, i1, w
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """Dense (n_in, n_out) interpolation matrix (2 nonzeros per column)."""
+    i0, i1, w = _axis_weights(n_in, n_out, align_corners)
+    m = np.zeros((n_in, n_out), np.float32)
+    cols = np.arange(n_out)
+    np.add.at(m, (i0, cols), 1.0 - w)
+    np.add.at(m, (i1, cols), w)
+    return m
+
+
 def _resize_axis(x: jnp.ndarray, axis: int, n_out: int, align_corners: bool):
+    """Resize one axis as a dense contraction: interpolation IS a (sparse)
+    matrix, and on TPU a small dense matmul on the MXU beats the gather
+    lowering XLA produces for jnp.take by a wide margin."""
     n_in = x.shape[axis]
-    aw = _axis_weights(n_in, n_out, align_corners)
-    if aw is None:
+    if n_in == n_out:
         return x
-    i0, i1, w = aw
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = n_out
-    wb = jnp.asarray(w).reshape(shape)
-    return x0 * (1.0 - wb) + x1 * wb
+    m = jnp.asarray(_resize_matrix(n_in, n_out, align_corners), dtype=x.dtype)
+    # fp32 inputs keep full precision (TPU matmuls default to bf16 passes,
+    # which would break torch-checkpoint parity); bf16 runs at MXU rate
+    prec = "highest" if x.dtype == jnp.float32 else None
+    out = jnp.tensordot(x, m, axes=[[axis], [0]], precision=prec)
+    # tensordot moves the contracted axis to the end; restore position
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resize_bilinear(

@@ -107,12 +107,17 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
     def upsample(prefix):
         return {"conv": _conv(sd, f"{prefix}.1")}
 
-    def subnet(prefix):  # offset/weight subnets: convs at 0,2,4 then 7
+    def subnet(prefix):  # offset/weight subnets: convs at 0,2,4 then 7.
+        # the tail (conv2 + final conv3) lives in the tap-major _HeadFinal
+        c3 = _conv(sd, f"{prefix}.7")
         return {
             "conv0": _conv(sd, f"{prefix}.0"),
             "conv1": _conv(sd, f"{prefix}.2"),
-            "conv2": _conv(sd, f"{prefix}.4"),
-            "conv3": _conv(sd, f"{prefix}.7"),
+            "final": {
+                "conv2": _conv(sd, f"{prefix}.4"),
+                "conv3_kernel": c3["kernel"],
+                "conv3_bias": c3["bias"],
+            },
         }
 
     g = "get_kernel"
@@ -137,7 +142,13 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
             "weight2": subnet(f"{g}.moduleWeight2"),
             "alpha2": subnet(f"{g}.moduleAlpha2"),
             "beta2": subnet(f"{g}.moduleBeta2"),
-            "occlusion": subnet(f"{g}.moduleOcclusion"),
+            # occlusion keeps the plain NHWC layout (single output channel)
+            "occlusion": {
+                "conv0": _conv(sd, f"{g}.moduleOcclusion.0"),
+                "conv1": _conv(sd, f"{g}.moduleOcclusion.2"),
+                "conv2": _conv(sd, f"{g}.moduleOcclusion.4"),
+                "conv3": _conv(sd, f"{g}.moduleOcclusion.7"),
+            },
         }
     }
     return {"params": params}

@@ -132,12 +132,49 @@ def test_adacof_net_nonmultiple32_padding():
 
 def test_flow_stats_and_penalties():
     rng = np.random.default_rng(2)
+    # NHWC variant (ops.adacof)
     w = jax.nn.softmax(jnp.asarray(rng.normal(size=(1, 4, 4, 9)).astype(np.float32)), axis=-1)
     a = jnp.asarray(rng.normal(size=(1, 4, 4, 9)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(1, 4, 4, 9)).astype(np.float32))
     mean, var = flow_stats(w, a, b)
     assert mean.shape == (1, 4, 4, 2) and var.shape == (1, 4, 4, 2)
     assert float(jnp.min(var)) >= 0
+    # tap-major variant must agree with the NHWC one
+    from fmvfi_tpu.models.adacof import flow_stats_tm
+
+    tm = lambda f: jnp.transpose(f, (3, 0, 1, 2))
+    mean2, var2 = flow_stats_tm(tm(w), tm(a), tm(b))
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var), atol=1e-6)
     occ = jnp.ones((1, 4, 4, 1)) * 0.5
-    gs, go = smoothness_penalties(w, a, b, w, a, b, occ)
+    gs, go = smoothness_penalties(tm(w), tm(a), tm(b), tm(w), tm(a), tm(b), occ)
     assert np.isfinite(float(gs)) and np.isfinite(float(go))
+
+
+def test_head_final_matches_nhwc_reference():
+    """The tap-major head tail (conv2 -> transpose -> 2x upsample -> 9-shift
+    tensordot conv) must equal the plain NHWC conv->upsample->conv pipeline."""
+    import torch
+    import torch.nn.functional as F
+
+    from fmvfi_tpu.models.adacof import _HeadFinal
+
+    rng = np.random.default_rng(5)
+    ks = 9
+    x = rng.normal(size=(1, 12, 16, 64)).astype(np.float32)
+    head = _HeadFinal(ks)
+    variables = head.init(jax.random.key(0), jnp.asarray(x))
+    out = np.asarray(head.apply(variables, jnp.asarray(x)))  # (ks, B, 2h, 2w)
+
+    p = variables["params"]
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    w2 = torch.from_numpy(np.asarray(p["conv2"]["kernel"]).transpose(3, 2, 0, 1).copy())
+    b2 = torch.from_numpy(np.asarray(p["conv2"]["bias"]).copy())
+    y = F.relu(F.conv2d(xt, w2, b2, padding=1))
+    y = F.interpolate(y, scale_factor=2, mode="bilinear", align_corners=True)
+    w3 = torch.from_numpy(np.asarray(p["conv3_kernel"]).transpose(3, 2, 0, 1).copy())
+    b3 = torch.from_numpy(np.asarray(p["conv3_bias"]).copy())
+    ref = F.conv2d(y, w3, b3, padding=1).numpy()  # (B, ks, 2h, 2w)
+    np.testing.assert_allclose(
+        np.moveaxis(out, 0, 1), ref, atol=5e-4
+    )
