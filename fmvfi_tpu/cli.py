@@ -74,7 +74,10 @@ def cmd_interpolate(argv):
     from .pipeline.video import _interp_fn
 
     def read(path):
-        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        raw = cv2.imread(path)
+        if raw is None:
+            p.error(f"cannot read image: {path}")
+        img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         return img.astype(np.float32) / 255.0
 
     f1, f2 = read(args.first_frame), read(args.second_frame)
