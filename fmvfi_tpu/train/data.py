@@ -37,17 +37,19 @@ class Vimeo90kTriplets:
     def __len__(self):
         return len(self.triplets)
 
-    def load(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def load_u8(self, index: int) -> np.ndarray:
+        """(3, H, W, 3) uint8 RGB triplet (native-augmentation fast path)."""
         import cv2
 
         path = self.triplets[index]
         frames = []
         for i in (1, 2, 3):
             bgr = cv2.imread(os.path.join(path, f"im{i}.png"))
-            frames.append(
-                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-            )
-        return tuple(frames)
+            frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        return np.stack(frames)
+
+    def load(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return tuple(f.astype(np.float32) / 255.0 for f in self.load_u8(index))
 
 
 class SyntheticTriplets:
@@ -102,10 +104,23 @@ def batch_iterator(
     shuffle: bool = True,
     prefetch: int = 2,
     epochs: Optional[int] = None,
+    use_native: Optional[bool] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (frame1, target, frame2) batches, each (B, crop, crop, 3),
-    decoded+augmented on a background thread."""
+    decoded+augmented on a background thread.
+
+    When the dataset exposes `load_u8` and the native C++ augmentation
+    library builds (fmvfi_tpu.native), the crop/flip/normalize/batch-assembly
+    runs multithreaded in C++ (use_native=None auto-detects)."""
     rng = np.random.default_rng(seed)
+    native_mod = None
+    if use_native is not False and hasattr(dataset, "load_u8") and crop:
+        from .. import native as native_mod_  # noqa
+
+        if native_mod_.available():
+            native_mod = native_mod_
+        elif use_native:
+            raise RuntimeError("native augmentation requested but unavailable")
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -120,13 +135,30 @@ def batch_iterator(
                     if stop.is_set():
                         return
                     idx = order[s : s + batch_size]
-                    items = [
-                        augment_triplet(dataset.load(int(i)), rng, crop=crop)
-                        for i in idx
-                    ]
-                    batch = tuple(
-                        np.stack([it[j] for it in items]) for j in range(3)
-                    )
+                    if native_mod is not None:
+                        raw = np.stack([dataset.load_u8(int(i)) for i in idx])
+                        hh, ww = raw.shape[2], raw.shape[3]
+                        params = np.stack(
+                            [
+                                [
+                                    rng.integers(0, hh - crop + 1),
+                                    rng.integers(0, ww - crop + 1),
+                                    rng.random() < 0.5,
+                                    rng.random() < 0.5,
+                                    rng.random() < 0.5,
+                                ]
+                                for _ in idx
+                            ]
+                        ).astype(np.int32)
+                        batch = native_mod.augment_batch(raw, crop, params)
+                    else:
+                        items = [
+                            augment_triplet(dataset.load(int(i)), rng, crop=crop)
+                            for i in idx
+                        ]
+                        batch = tuple(
+                            np.stack([it[j] for it in items]) for j in range(3)
+                        )
                     q.put(batch)
                 epoch += 1
         finally:

@@ -116,3 +116,39 @@ def test_loss_spec_vgg_needs_checkpoint():
 
     with pytest.raises(FileNotFoundError):
         VGGLoss("/nonexistent/vgg16.pth")
+
+
+def test_native_augmentation_matches_numpy():
+    from fmvfi_tpu import native
+    from fmvfi_tpu.train.data import augment_triplet
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (2, 3, 40, 48, 3)).astype(np.uint8)
+    params = np.array([[3, 5, 1, 0, 1], [0, 0, 0, 1, 0]], np.int32)
+    crop = 32
+    o0, o1, o2 = native.augment_batch(raw, crop, params)
+    for b in range(2):
+        y0, x0, hf, vf, ts = params[b]
+        frames = [raw[b, t].astype(np.float32) / 255.0 for t in range(3)]
+        f = [fr[y0 : y0 + crop, x0 : x0 + crop] for fr in frames]
+        if hf:
+            f = [fr[:, ::-1] for fr in f]
+        if vf:
+            f = [fr[::-1] for fr in f]
+        if ts:
+            f = [f[2], f[1], f[0]]
+        np.testing.assert_allclose(o0[b], f[0], atol=1e-6)
+        np.testing.assert_allclose(o1[b], f[1], atol=1e-6)
+        np.testing.assert_allclose(o2[b], f[2], atol=1e-6)
+
+
+def test_native_u8_to_f32():
+    from fmvfi_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    x = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    y = native.u8_to_f32(x)
+    np.testing.assert_allclose(y, x.astype(np.float32) / 255.0, atol=1e-7)
