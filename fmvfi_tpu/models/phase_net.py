@@ -34,10 +34,13 @@ class PhaseNetBlock(nn.Module):
     c_out: int
     pred_out: int
     kernel: int  # 1 or 3
+    dtype: object = None  # compute dtype (e.g. bfloat16); params stay fp32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         pad = self.kernel // 2
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         def rpad(z):
             if pad == 0:
@@ -47,15 +50,21 @@ class PhaseNetBlock(nn.Module):
             )
 
         k = (self.kernel, self.kernel)
-        x = nn.Conv(self.c_out, k, padding="VALID", name="conv1")(rpad(x))
+        x = nn.Conv(self.c_out, k, padding="VALID", dtype=self.dtype, name="conv1")(rpad(x))
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
         )(x)
         x = nn.elu(x)
-        x = nn.Conv(self.c_out, k, padding="VALID", name="conv2")(rpad(x))
+        x = nn.Conv(self.c_out, k, padding="VALID", dtype=self.dtype, name="conv2")(rpad(x))
         feat = nn.elu(x)
-        pred = jnp.tanh(nn.Conv(self.pred_out, (1, 1), name="pred")(feat))
-        return feat, pred
+        pred = jnp.tanh(
+            nn.Conv(self.pred_out, (1, 1), dtype=self.dtype, name="pred")(feat)
+        )
+        return feat.astype(jnp.float32), pred.astype(jnp.float32)
 
 
 class NormState(NamedTuple):
@@ -88,6 +97,7 @@ class PhaseNetCore(nn.Module):
 
     num_img: int = 2
     nbands: int = 4
+    dtype: object = None  # compute dtype for the conv blocks
 
     def setup(self):
         ni = self.num_img
@@ -100,7 +110,7 @@ class PhaseNetCore(nn.Module):
         else:
             specs = [(1, 1), (8, 1), (8, 1)] + [(8, 3)] * 5
         self.blocks = [
-            PhaseNetBlock(64, pred_out, kernel, name=f"block{i}")
+            PhaseNetBlock(64, pred_out, kernel, self.dtype, name=f"block{i}")
             for i, (pred_out, kernel) in enumerate(specs)
         ]
 

@@ -52,14 +52,16 @@ def _from_chan_batch(x: jnp.ndarray, channels: int = 3) -> jnp.ndarray:
     return jnp.transpose(x.reshape(n // channels, channels, h, w), (0, 2, 3, 1))
 
 
-def _phase_net_predict(phase_vars, chan_batch: jnp.ndarray, filters, m=None):
+def _phase_net_predict(
+    phase_vars, chan_batch: jnp.ndarray, filters, m=None, compute_dtype=None
+):
     """Shared PhaseNet sub-graph: a packed 2-frame channel batch
     (2*B*3, H, W) -> predicted single-frame decomposition (B*3 leading)."""
     vals = decompose(chan_batch, filters)
     v1, v2 = dec_ops.split_frames(vals, 2)
     low, phases, amps = dec_ops.concat_for_net([v1, v2])
     lown, pn, an, norm = normalize_inputs(low, phases, amps)
-    core = PhaseNetCore(num_img=2)
+    core = PhaseNetCore(num_img=2, dtype=compute_dtype)
     lo, pp, ap = core.apply(phase_vars, lown, pn, an, m=m)
     high = jnp.zeros_like(v1.high)  # zeros, core.py:142-145
     return predictions_to_decomp(lo, pp, ap, norm, high)
@@ -138,7 +140,9 @@ def fusion_interpolate(
     lab1 = rgb_to_lab(frame1)
     lab2 = rgb_to_lab(frame2)
     lab_batch = jnp.concatenate([_to_chan_batch(lab1), _to_chan_batch(lab2)], 0)
-    dec = _phase_net_predict(weights.phase_net, lab_batch, filters)
+    dec = _phase_net_predict(
+        weights.phase_net, lab_batch, filters, compute_dtype=compute_dtype
+    )
     lab_pred = reconstruct(dec, filters)
     phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
 
