@@ -64,6 +64,9 @@ def cmd_interpolate(argv):
     p.add_argument("--second_frame", required=True)
     p.add_argument("--output_frame", default="./output.png")
     p.add_argument("--dim", type=int, default=0, help="center-crop size (0 = full)")
+    p.add_argument("--output_phase", default="", help="also write the PhaseNet prediction here")
+    p.add_argument("--output_adacof", default="", help="also write the AdaCoF prediction here")
+    p.add_argument("--output_baseline", default="", help="also write the 3-pass baseline composite here")
     _common(p)
     args = p.parse_args(argv)
 
@@ -86,13 +89,35 @@ def cmd_interpolate(argv):
         f2 = crop_center(f2, args.dim)
     h, w, _ = f1.shape
     weights = _load_weights(args, h, w)
-    fn = _interp_fn(weights, h, w, args.method)
-    out = np.asarray(fn(jnp.asarray(f1[None]), jnp.asarray(f2[None])))[0]
-    cv2.imwrite(
-        args.output_frame,
-        cv2.cvtColor((out * 255).clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
-    )
-    print(f"wrote {args.output_frame}")
+
+    def write(path, img):
+        cv2.imwrite(
+            path,
+            cv2.cvtColor((np.asarray(img) * 255).clip(0, 255).astype(np.uint8),
+                         cv2.COLOR_RGB2BGR),
+        )
+        print(f"wrote {path}")
+
+    side = args.output_phase or args.output_adacof or args.output_baseline
+    if side and args.method == "fusion":
+        import jax
+
+        from .pipeline.interpolate import fusion_interpolate
+
+        out, parts = jax.jit(
+            lambda a, b: fusion_interpolate(weights, a, b, return_parts=True)
+        )(jnp.asarray(f1[None]), jnp.asarray(f2[None]))
+        if args.output_phase:
+            write(args.output_phase, parts["phase"][0])
+        if args.output_adacof:
+            write(args.output_adacof, parts["adacof"][0])
+        if args.output_baseline:
+            write(args.output_baseline, parts["baseline"][0])
+        out = out[0]
+    else:
+        fn = _interp_fn(weights, h, w, args.method)
+        out = fn(jnp.asarray(f1[None]), jnp.asarray(f2[None]))[0]
+    write(args.output_frame, out)
 
 
 def cmd_video(argv):
@@ -146,12 +171,81 @@ def cmd_evaluate(argv):
     print(json.dumps(summary, indent=2))
 
 
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("--regime", default="adacof", choices=["adacof", "phase", "fusion"])
+    p.add_argument("--data_dir", default="", help="Vimeo90k root (empty = synthetic)")
+    p.add_argument("--out_dir", default="./output")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--steps_per_epoch", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--crop", type=int, default=128)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--loss", default="1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
+    p.add_argument("--optimizer", default="adamax")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    _common(p)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from .train.data import SyntheticTriplets, Vimeo90kTriplets, batch_iterator
+    from .train.loop import fit
+    from .train.losses import parse_loss_spec
+    from .train import trainer as T
+
+    rng = jax.random.key(0)
+    hw = args.crop
+    if args.regime == "adacof":
+        state, step = T.make_adacof_trainer(
+            rng, hw, hw, kernel_size=args.kernel_size, dilation=args.dilation,
+            lr=args.lr or 1e-3, loss_spec=parse_loss_spec(args.loss),
+            optimizer=args.optimizer,
+        )
+    elif args.regime == "phase":
+        state, step, _, _ = T.make_phase_trainer(rng, hw, hw, lr=args.lr or 1e-3)
+    else:
+        w = _load_weights(args, hw, hw)
+        state, step = T.make_fusion_trainer(
+            rng, hw, hw, w.phase_net, w.adacof,
+            kernel_size=args.kernel_size, dilation=args.dilation,
+            lr=args.lr or 1e-4,
+        )
+
+    if args.data_dir:
+        ds = Vimeo90kTriplets(args.data_dir)
+    else:
+        ds = SyntheticTriplets(n=32, h=args.crop + 16, w=args.crop + 16)
+        print("note: no --data_dir, training on synthetic motion", file=sys.stderr)
+    batches = batch_iterator(ds, args.batch_size, crop=args.crop)
+
+    if args.data_parallel:
+        from .parallel.dp import data_parallel
+        from .parallel.mesh import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        pstep = data_parallel(step, mesh)
+        state = replicate(mesh, state)
+        import jax.numpy as jnp_
+
+        step = lambda s, b: pstep(s, shard_batch(mesh, b))
+
+    state = fit(
+        state, step, batches, args.out_dir,
+        epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+        jit=not args.data_parallel,
+    )
+    print(f"trained {int(state.step)} steps; checkpoints in {args.out_dir}/checkpoint")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmds = {
         "interpolate": cmd_interpolate,
         "video": cmd_video,
         "evaluate": cmd_evaluate,
+        "train": cmd_train,
     }
     if not argv or argv[0] not in cmds:
         print(f"usage: python -m fmvfi_tpu.cli {{{'|'.join(cmds)}}} ...")
