@@ -25,19 +25,33 @@ def _load_weights(args, h, w):
     from .models.adacof import AdaCoFNet
     from .pipeline.interpolate import FusionWeights
     from .utils.convert import (
-        adacof_from_torch,
         fusion_net_from_torch,
+        load_adacof_weights,
         phase_net_from_torch,
     )
 
     rng = jax.random.key(0)
     z = jnp.zeros((1, max(h, 32), max(w, 32), 3))
     if args.adacof_checkpoint:
-        ada = adacof_from_torch(args.adacof_checkpoint)
+        ada = load_adacof_weights(
+            args.adacof_checkpoint, args.kernel_size, args.dilation
+        )
     else:
-        ada = AdaCoFNet(args.kernel_size, args.dilation).init(rng, z, z)
-        print("warning: no --adacof_checkpoint, using random AdaCoF weights",
-              file=sys.stderr)
+        import os
+
+        demo = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints",
+            "adacof_synth_demo.msgpack",
+        )
+        if os.path.exists(demo) and args.kernel_size == 5:
+            ada = load_adacof_weights(demo)
+            print(f"note: using bundled demo AdaCoF weights ({demo}); pass "
+                  "--adacof_checkpoint for trained ones", file=sys.stderr)
+        else:
+            ada = AdaCoFNet(args.kernel_size, args.dilation).init(rng, z, z)
+            print("warning: no --adacof_checkpoint, using random AdaCoF weights",
+                  file=sys.stderr)
     return FusionWeights(
         phase_net=phase_net_from_torch(args.phase_checkpoint),
         adacof=ada,

@@ -152,3 +152,18 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
         }
     }
     return {"params": params}
+
+
+def load_adacof_weights(path: str, kernel_size: int = 5, dilation: int = 1):
+    """Load AdaCoF weights from a torch ckpt.pth OR an fmvfi msgpack file."""
+    if path.endswith(".msgpack"):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.adacof import AdaCoFNet
+        from .checkpoint import load_msgpack
+
+        z = jnp.zeros((1, 64, 64, 3))
+        template = AdaCoFNet(kernel_size, dilation).init(jax.random.key(0), z, z)
+        return load_msgpack(path, template)
+    return adacof_from_torch(path)
