@@ -248,23 +248,39 @@ def _ifft2s(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=(-2, -1)))
 
 
-def decompose(img: jnp.ndarray, filters: PyramidFilters) -> Decomp:
-    """(N, H, W) float -> Decomp.  Pure; jit/vmap/grad-safe."""
+def decompose(
+    img: jnp.ndarray, filters: PyramidFilters, active_levels=None
+) -> Decomp:
+    """(N, H, W) float -> Decomp.  Pure; jit/vmap/grad-safe.
+
+    `active_levels` (static sequence) skips the band IFFT + abs/angle work of
+    levels the caller will zero anyway (their phase/amplitude come back as
+    zeros).  The lowpass chain always runs, so low/high and the active bands
+    are bit-identical to a full decompose — used by the uncertainty-map
+    section, which only consumes the finest band and the 6 coarsest."""
     if img.shape[-2:] != filters.in_shape:
         raise ValueError(f"image {img.shape} vs filters {filters.in_shape}")
+    nlevels = filters.height - 2
+    active = set(range(nlevels)) if active_levels is None else set(active_levels)
+    n = img.shape[0]
     dft = _fft2s(img.astype(jnp.float32))
     high = jnp.real(_ifft2s(dft * filters.hi0))
     lodft = dft * filters.lo0
 
     cf = _cfact(filters.nbands)
     phases, amps = [], []
-    for lvl in range(filters.height - 2):
-        band_dft = lodft[:, None, :, :] * filters.band_masks[lvl][None]
-        # unit complex factor is linear: ifft(cf*X) == cf*ifft(X)
-        band = _ifft2s(band_dft) * cf
-        # keep abs/angle paired on the same complex value; angle == imag(log z)
-        amps.append(jnp.abs(band))
-        phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
+    for lvl in range(nlevels):
+        if lvl in active:
+            band_dft = lodft[:, None, :, :] * filters.band_masks[lvl][None]
+            # unit complex factor is linear: ifft(cf*X) == cf*ifft(X)
+            band = _ifft2s(band_dft) * cf
+            # abs/angle paired on the same complex value; angle == imag(log z)
+            amps.append(jnp.abs(band))
+            phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
+        else:
+            shape = (n, filters.nbands) + filters.level_shapes[lvl]
+            amps.append(jnp.zeros(shape, jnp.float32))
+            phases.append(jnp.zeros(shape, jnp.float32))
         r0, r1, c0, c1 = filters.crops[lvl]
         lodft = lodft[:, r0:r1, c0:c1] * filters.lo_masks[lvl]
 

@@ -146,11 +146,15 @@ def fusion_interpolate(
     lab_pred = reconstruct(dec, filters)
     phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
 
-    # 3. uncertainty maps: decompose (ada_pred, phase_pred) in RGB space
+    # 3. uncertainty maps: decompose (ada_pred, phase_pred) in RGB space.
+    # Only the finest band (3a) and the 6 coarsest (3b) are consumed, so the
+    # mid-level band IFFTs (the near-full-res, expensive ones) are skipped.
+    nlev_total = filters.height - 2
+    unc_levels = (0,) + tuple(range(max(nlev_total - 6, 0), nlev_total))
     rgb_batch = jnp.concatenate(
         [_to_chan_batch(ada_pred), _to_chan_batch(phase_pred)], 0
     )
-    vals = decompose(rgb_batch, filters)
+    vals = decompose(rgb_batch, filters, active_levels=unc_levels)
     vals_ada, vals_ph = dec_ops.split_frames(vals, 2)
 
     # 3a. phase uncertainty: |finest-band-only reconstructions| difference.

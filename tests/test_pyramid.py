@@ -140,3 +140,19 @@ def test_shift_moves_phase_not_amplitude():
     phase_moved = (phase_delta * wgt).sum()
     assert amp_rel < 0.05, f"lvl {lvl}: amplitude moved {amp_rel}"
     assert phase_moved > 0.2, f"lvl {lvl}: phase only moved {phase_moved}"
+
+
+def test_partial_decompose_matches_active_levels():
+    f = make_filters(64, 64, height=7)
+    img = jnp.asarray(_natural_img(1, 64, 64))
+    full = decompose(img, f)
+    part = decompose(img, f, active_levels=(0, 3, 4))
+    np.testing.assert_allclose(np.asarray(part.high), np.asarray(full.high))
+    np.testing.assert_allclose(np.asarray(part.low), np.asarray(full.low))
+    for lvl in range(5):
+        if lvl in (0, 3, 4):
+            np.testing.assert_allclose(
+                np.asarray(part.phase[lvl]), np.asarray(full.phase[lvl])
+            )
+        else:
+            assert float(np.abs(np.asarray(part.phase[lvl])).max()) == 0.0
