@@ -64,7 +64,10 @@ class PhaseNetBlock(nn.Module):
         pred = jnp.tanh(
             nn.Conv(self.pred_out, (1, 1), dtype=self.dtype, name="pred")(feat)
         )
-        return feat.astype(jnp.float32), pred.astype(jnp.float32)
+        # keep the compute dtype: the values were PRODUCED at this precision,
+        # so upcasting here would only make the level-to-level resizes run the
+        # slow fp32-"highest" matmul path for no accuracy gain
+        return feat, pred
 
 
 class NormState(NamedTuple):
@@ -130,12 +133,14 @@ class PhaseNetCore(nn.Module):
         nb = self.nbands
         if m is None:
             m = len(phases)
+        cdt = self.dtype
 
         feat, pred = self.blocks[0](low, train=train)
-        alpha = (pred[..., 0:1] + 1.0) / 2.0
+        predf = pred.astype(jnp.float32)
+        alpha = (predf[..., 0:1] + 1.0) / 2.0
         low_pred = alpha * low[..., 0:1] + (1.0 - alpha) * low[..., 1:2]
         if self.num_img == 3:
-            fusion_alpha = (pred[..., 1:2] + 1.0) / 2.0
+            fusion_alpha = (predf[..., 1:2] + 1.0) / 2.0
             low_pred = fusion_alpha * low_pred + (1.0 - fusion_alpha) * low[..., 2:3]
 
         phase_preds: List[jnp.ndarray] = []
@@ -144,20 +149,23 @@ class PhaseNetCore(nn.Module):
             h, w = phases[idx].shape[1:3]
             feat_r = resize_bilinear(feat, (h, w), align_corners=False)
             pred_r = resize_bilinear(pred, (h, w), align_corners=False)
-            x = jnp.concatenate([feat_r, phases[idx], amps[idx], pred_r], axis=-1)
+            pin = phases[idx] if cdt is None else phases[idx].astype(cdt)
+            ain = amps[idx] if cdt is None else amps[idx].astype(cdt)
+            x = jnp.concatenate([feat_r, pin, ain, pred_r], axis=-1)
             i = min(idx + 1, len(self.blocks) - 1)
             feat, pred = self.blocks[i](x, train=train)
 
-            beta = (pred[..., nb : 2 * nb] + 1.0) / 2.0
+            predf = pred.astype(jnp.float32)
+            beta = (predf[..., nb : 2 * nb] + 1.0) / 2.0
             amp = beta * amps[idx][..., nb : 2 * nb] + (1.0 - beta) * amps[idx][
                 ..., 0:nb
             ]
             if self.num_img == 3:
-                fusion_beta = (pred[..., 2 * nb : 3 * nb] + 1.0) / 2.0
+                fusion_beta = (predf[..., 2 * nb : 3 * nb] + 1.0) / 2.0
                 amp = fusion_beta * amp + (1.0 - fusion_beta) * amps[idx][
                     ..., 2 * nb : 3 * nb
                 ]
-            phase_preds.append(pred[..., 0:nb])
+            phase_preds.append(predf[..., 0:nb])
             amp_preds.append(amp)
 
         return low_pred, phase_preds, amp_preds

@@ -248,6 +248,148 @@ def _ifft2s(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=(-2, -1)))
 
 
+def finest_recon_mask(filters: PyramidFilters) -> jnp.ndarray:
+    """Combined frequency mask M0 such that, for a REAL image x,
+
+        reconstruct(keep_finest_levels(decompose(x), 1), use_low=False)
+            == real(ifft2s(fft2s(x) * M0))
+
+    i.e. the "finest band + highpass residual" reconstruction collapses to a
+    single spectral multiply: M0 = hi0^2 + lo0^2 * sum_b a_b * s_b (analysis x
+    synthesis angular masks; the unit complex factors (-i)^(n-1), (+i)^(n-1)
+    cancel).  Exactness relies on fft2s(x) being Hermitian (x real), which
+    makes fft(high) == dft * hi0.  Computed in-graph from the traced filter
+    leaves so it never becomes a giant HLO constant."""
+    band0 = jnp.sum(
+        jnp.asarray(filters.band_masks[0]) * jnp.asarray(filters.synth_masks[0]),
+        axis=0,
+    )
+    hi0 = jnp.asarray(filters.hi0)
+    lo0 = jnp.asarray(filters.lo0)
+    return hi0 * hi0 + lo0 * lo0 * band0
+
+
+def coarse_window(filters: PyramidFilters, start: int):
+    """Static full-resolution frequency window of pyramid grid `start`
+    (the composition of crops[0..start-1]): returns (r0, c0, (h, w))."""
+    r0 = c0 = 0
+    for lvl in range(start):
+        a, _, c, _ = filters.crops[lvl]
+        r0 += a
+        c0 += c
+    return r0, c0, filters.level_shapes[start] if start < len(
+        filters.level_shapes
+    ) else filters.low_shape
+
+
+def coarse_window_mask(filters: PyramidFilters, start: int) -> jnp.ndarray:
+    """The combined lowpass mask accumulated between the full-res grid and
+    grid `start`: lo0 restricted to the window times the product of
+    lo_masks[0..start-1], each restricted to grid `start`'s sub-window.
+    Shape = level_shapes[start].  Computed in-graph from traced leaves."""
+    r0, c0, (hk, wk) = coarse_window(filters, start)
+    lo0 = jnp.asarray(filters.lo0)
+    mask = lo0[r0 : r0 + hk, c0 : c0 + wk]
+    # grid j+1 = result of crops[j]; window of grid `start` inside grid j+1
+    # accumulates the remaining crop starts
+    for j in range(start):
+        rj = cj = 0
+        for lvl in range(j + 1, start):
+            a, _, c, _ = filters.crops[lvl]
+            rj += a
+            cj += c
+        lm = jnp.asarray(filters.lo_masks[j])
+        mask = mask * lm[rj : rj + hk, cj : cj + wk]
+    return mask
+
+
+def fft2s_window(img: jnp.ndarray, full_shape, r0: int, c0: int, hk: int, wk: int):
+    """fft2s(img)[..., r0:r0+hk, c0:c0+wk] computed cheaply: full FFT along W,
+    crop columns, then the H-axis FFT runs on the narrow array only (the two
+    axis transforms are independent, so cropping between them is exact)."""
+    x = jnp.fft.fftshift(jnp.fft.fft(img.astype(jnp.complex64), axis=-1), axes=-1)
+    x = x[..., :, c0 : c0 + wk]
+    x = jnp.fft.fftshift(jnp.fft.fft(x, axis=-2), axes=-2)
+    return x[..., r0 : r0 + hk, :]
+
+
+def decompose_coarse(
+    img: jnp.ndarray, filters: PyramidFilters, start: int
+) -> Decomp:
+    """Coarse-tail decomposition: phase/amplitude for levels >= `start` plus
+    the lowpass, with the fine levels' entries zero-shaped out (their
+    phase/amplitude come back as ()-placeholders of zeros with the right
+    shapes).  Bit-equivalent on the produced levels to
+    decompose(img, active_levels=range(start, L)) but never materializes the
+    full-plane DFT: the spectrum is evaluated only on grid `start`'s window
+    (one full-width FFT + a narrow-column FFT)."""
+    nlevels = filters.height - 2
+    n = img.shape[0]
+    r0, c0, (hk, wk) = coarse_window(filters, start)
+    dk = fft2s_window(img, filters.in_shape, r0, c0, hk, wk)
+    lodft = dk * coarse_window_mask(filters, start)
+
+    cf = _cfact(filters.nbands)
+    phases, amps = [], []
+    for lvl in range(nlevels):
+        if lvl < start:
+            shape = (n, filters.nbands) + filters.level_shapes[lvl]
+            amps.append(jnp.zeros(shape, jnp.float32))
+            phases.append(jnp.zeros(shape, jnp.float32))
+            continue
+        band = _ifft2s(lodft[:, None, :, :] * filters.band_masks[lvl][None]) * cf
+        amps.append(jnp.abs(band))
+        phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
+        a, _, c, _ = filters.crops[lvl]
+        hl, wl = (
+            filters.level_shapes[lvl + 1]
+            if lvl + 1 < nlevels
+            else filters.low_shape
+        )
+        lodft = lodft[:, a : a + hl, c : c + wl] * filters.lo_masks[lvl]
+
+    low = jnp.real(_ifft2s(lodft))
+    high = jnp.zeros((n,) + filters.in_shape, jnp.float32)
+    return Decomp(high=high, low=low, phase=tuple(phases), amplitude=tuple(amps))
+
+
+def reconstruct_coarse(
+    vals: Decomp, filters: PyramidFilters, start: int, use_low: bool = True
+) -> jnp.ndarray:
+    """reconstruct(vals, active_levels=range(start, L), use_high=False) but
+    the fine inactive prefix collapses to a single embed + combined-mask
+    multiply, and the final full-res spectrum (zero outside grid `start`'s
+    window) is inverse-transformed with narrow axis FFTs."""
+    nlevels = filters.height - 2
+    n = vals.low.shape[0]
+    if use_low:
+        lodft = _fft2s(vals.low.astype(jnp.float32))
+    else:
+        lodft = jnp.zeros((n,) + filters.low_shape, jnp.complex64)
+    for lvl in reversed(range(start, nlevels)):
+        a, _, c, _ = filters.crops[lvl]
+        hl, wl = filters.level_shapes[lvl]
+        up = jnp.zeros((n, hl, wl), dtype=jnp.complex64)
+        up = up.at[:, a : a + lodft.shape[1], c : c + lodft.shape[2]].set(
+            lodft * filters.lo_masks[lvl]
+        )
+        band = vals.amplitude[lvl] * jnp.exp(1j * vals.phase[lvl].astype(jnp.float32))
+        band_dft = _fft2s(band) * _cfact_synth(filters.nbands)
+        lodft = up + jnp.sum(band_dft * filters.synth_masks[lvl][None], axis=1)
+
+    # collapse the inactive fine prefix: combined mask + windowed inverse FFT
+    r0, c0, (hk, wk) = coarse_window(filters, start)
+    h, w = filters.in_shape
+    dk = lodft * coarse_window_mask(filters, start)
+    # inverse of fft2s_window: pad rows to full H, ifft along H, pad cols, ifft W
+    xr = jnp.zeros((n, h, wk), jnp.complex64)
+    xr = xr.at[:, r0 : r0 + hk, :].set(dk)
+    xr = jnp.fft.ifft(jnp.fft.ifftshift(xr, axes=-2), axis=-2)
+    xc = jnp.zeros((n, h, w), jnp.complex64)
+    xc = xc.at[:, :, c0 : c0 + wk].set(xr)
+    return jnp.real(jnp.fft.ifft(jnp.fft.ifftshift(xc, axes=-1), axis=-1))
+
+
 def decompose(
     img: jnp.ndarray, filters: PyramidFilters, active_levels=None
 ) -> Decomp:

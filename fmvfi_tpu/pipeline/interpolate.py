@@ -29,7 +29,16 @@ from ..models.phase_net import (
 from ..ops import decomp as dec_ops
 from ..ops.color import lab_to_rgb, rgb_to_lab
 from ..ops.filters import gaussian_blur, median_filter, median_filter_fast
-from ..ops.pyramid import Decomp, decompose, make_filters, max_pyr_height, reconstruct
+from ..ops.pyramid import (
+    Decomp,
+    decompose,
+    decompose_coarse,
+    finest_recon_mask,
+    make_filters,
+    max_pyr_height,
+    reconstruct,
+    reconstruct_coarse,
+)
 
 
 class FusionWeights(NamedTuple):
@@ -65,6 +74,72 @@ def _phase_net_predict(
     lo, pp, ap = core.apply(phase_vars, lown, pn, an, m=m)
     high = jnp.zeros_like(v1.high)  # zeros, core.py:142-145
     return predictions_to_decomp(lo, pp, ap, norm, high)
+
+
+def fusion_uncertainty(ada_pred: jnp.ndarray, phase_pred: jnp.ndarray, filters):
+    """The two pyramid-derived uncertainty maps of the fusion pipeline
+    (trainer.py:122-146), restructured around linearity for the TPU:
+
+    (a) phase uncertainty — reference: reconstruct the finest band + highpass
+        of each prediction, channel-mean, |difference|, gaussian.  Every step
+        up to the |.| is linear, so it collapses to ONE spectral multiply on
+        the channel-mean difference image: |Re ifft(fft(mean_c(ada - ph)) *
+        M0)| — one full-res FFT pair instead of 2x3 decompose + partial
+        reconstructs (see ops.pyramid.finest_recon_mask).
+
+    (b) adacof artifact uncertainty — reference: |band difference| of the 6
+        coarsest levels, reconstructed, channel-meaned, minus its 50x50
+        median.  The coarse decompositions never need the full-plane DFT
+        (windowed axis FFTs, ops.pyramid.decompose_coarse), and since the
+        reconstruction is linear in the complex band, the 3 channels'
+        difference-bands are averaged BEFORE reconstruction (3x less work,
+        identical output).
+
+    Returns (ada_uncertainty, phase_uncertainty), each (B, H, W)."""
+    from ..ops.pyramid import _fft2s, _ifft2s
+
+    b, h, w, _ = ada_pred.shape
+    nlev = filters.height - 2
+
+    # (a) phase uncertainty
+    g = jnp.mean(ada_pred - phase_pred, axis=-1)  # (B, H, W)
+    h_diff = jnp.abs(jnp.real(_ifft2s(_fft2s(g) * finest_recon_mask(filters))))
+    phase_unc = gaussian_blur(jnp.clip(h_diff * 100.0, 0.0, 1.0), 5.0)
+
+    # (b) adacof artifact uncertainty
+    start = max(nlev - 6, 0)
+    rgb_batch = jnp.concatenate(
+        [_to_chan_batch(ada_pred), _to_chan_batch(phase_pred)], 0
+    )
+    vals = decompose_coarse(rgb_batch, filters, start)
+    vals_ada, vals_ph = dec_ops.split_frames(vals, 2)
+
+    def chan_mean(x):  # (B*3, ...) -> (B, ...)
+        return x.reshape((b, 3) + x.shape[1:]).mean(axis=1)
+
+    phases, amps = [], []
+    for lvl in range(nlev):
+        if lvl < start:
+            sh = (b, filters.nbands) + filters.level_shapes[lvl]
+            phases.append(jnp.zeros(sh, jnp.float32))
+            amps.append(jnp.zeros(sh, jnp.float32))
+            continue
+        da = jnp.abs(vals_ph.amplitude[lvl] - vals_ada.amplitude[lvl])
+        dp = jnp.abs(vals_ph.phase[lvl] - vals_ada.phase[lvl])
+        band = chan_mean(da * jnp.exp(1j * dp))
+        amps.append(jnp.abs(band))
+        phases.append(jnp.arctan2(jnp.imag(band), jnp.real(band)))
+    low = chan_mean(jnp.abs(vals_ph.low - vals_ada.low))
+    dvals = Decomp(
+        high=jnp.zeros((b, h, w), jnp.float32),
+        low=low,
+        phase=tuple(phases),
+        amplitude=tuple(amps),
+    )
+    freq_diff = reconstruct_coarse(dvals, filters, start) * 30.0
+    freq_med = median_filter_fast(freq_diff, size=50)
+    ada_unc = jnp.clip(jnp.abs(freq_diff - freq_med) * 5.0, 0.0, 1.0)
+    return ada_unc, phase_unc
 
 
 def phase_interpolate(
@@ -146,53 +221,11 @@ def fusion_interpolate(
     lab_pred = reconstruct(dec, filters)
     phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
 
-    # 3. uncertainty maps: decompose (ada_pred, phase_pred) in RGB space.
-    # Only the finest band (3a) and the 6 coarsest (3b) are consumed, so the
-    # mid-level band IFFTs (the near-full-res, expensive ones) are skipped.
-    nlev_total = filters.height - 2
-    unc_levels = (0,) + tuple(range(max(nlev_total - 6, 0), nlev_total))
-    rgb_batch = jnp.concatenate(
-        [_to_chan_batch(ada_pred), _to_chan_batch(phase_pred)], 0
+    # 3. uncertainty maps (trainer.py:122-146), frequency-domain fast path —
+    # see fusion_uncertainty for the linearity restructuring.
+    ada_uncertainty, phase_uncertainty = fusion_uncertainty(
+        ada_pred, phase_pred, filters
     )
-    vals = decompose(rgb_batch, filters, active_levels=unc_levels)
-    vals_ada, vals_ph = dec_ops.split_frames(vals, 2)
-
-    # 3a. phase uncertainty: |finest-band-only reconstructions| difference.
-    # Both frames' finest-band reconstructions come from ONE partial
-    # reconstruct (only level 0 + highpass are non-zero after keep_finest).
-    h_both = reconstruct(
-        dec_ops.keep_finest_levels(vals, 1),
-        filters,
-        active_levels=(0,),
-        use_low=False,
-    )
-    h_ada, h_ph = jnp.split(h_both, 2, axis=0)
-    h_diff = jnp.abs(
-        _from_chan_batch(h_ada).mean(-1) - _from_chan_batch(h_ph).mean(-1)
-    )
-    h_diff = jnp.clip(h_diff * 100.0, 0.0, 1.0)
-    phase_uncertainty = gaussian_blur(h_diff, 5.0)  # (B, H, W)
-
-    # 3b. adacof artifact uncertainty: coarse-band difference minus its 50x50
-    # median, scaled (trainer.py:138-146); only the 6 coarsest levels + low
-    # are non-zero, so the partial reconstruct skips the expensive fine FFTs
-    nlev = len(vals.phase)
-    vals_diff = dec_ops.keep_coarsest_levels(
-        dec_ops.abs_difference(vals_ph, vals_ada), 6
-    )
-    freq_diff = (
-        _from_chan_batch(
-            reconstruct(
-                vals_diff,
-                filters,
-                active_levels=tuple(range(nlev - 6, nlev)),
-                use_high=False,
-            )
-        ).mean(-1)
-        * 30.0
-    )
-    freq_med = median_filter_fast(freq_diff, size=50)
-    ada_uncertainty = jnp.clip(jnp.abs(freq_diff - freq_med) * 5.0, 0.0, 1.0)
 
     # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The first
     # two passes are independent -> ONE batched call (B doubled); all three
