@@ -22,7 +22,7 @@ def _load_weights(args, h, w):
     import jax
     import jax.numpy as jnp
 
-    from .models.adacof import AdaCoFNet
+    from .models.registry import get_model
     from .pipeline.interpolate import FusionWeights
     from .utils.convert import (
         fusion_net_from_torch,
@@ -49,7 +49,12 @@ def _load_weights(args, h, w):
             print(f"note: using bundled demo AdaCoF weights ({demo}); pass "
                   "--adacof_checkpoint for trained ones", file=sys.stderr)
         else:
-            ada = AdaCoFNet(args.kernel_size, args.dilation).init(rng, z, z)
+            model = get_model(
+                getattr(args, "model", None) or "adacof",
+                kernel_size=args.kernel_size,
+                dilation=args.dilation,
+            )
+            ada = model.init(rng, z, z)
             print("warning: no --adacof_checkpoint, using random AdaCoF weights",
                   file=sys.stderr)
     return FusionWeights(
@@ -70,6 +75,9 @@ def _common(p):
     p.add_argument("--adacof_checkpoint", default="")
     p.add_argument("--kernel_size", type=int, default=5)
     p.add_argument("--dilation", type=int, default=1)
+    p.add_argument("--model", default="",
+                   help="registry name or dotted path exposing make_model() "
+                        "(the reference's dynamic loader, models/__init__.py)")
 
 
 def cmd_interpolate(argv):
@@ -195,8 +203,25 @@ def cmd_train(argv):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr_decay_epochs", type=int, default=0,
+                   help="halve the LR every N epochs (reference AdaCoF: 20)")
     p.add_argument("--loss", default="1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
+    p.add_argument("--vgg_checkpoint", default="",
+                   help="torchvision vgg16 state dict (required for *VGG loss)")
     p.add_argument("--optimizer", default="adamax")
+    p.add_argument("--mode", default="phase", choices=["phase", "fusion"],
+                   help="phase regime: plain or fusion-input variant "
+                        "(train/train.py --mode)")
+    p.add_argument("--model_variant", type=int, default=0, choices=[0, 1],
+                   help="fusion-mode phase training: 0=warped pair inputs "
+                        "(num_img=4), 1=blended input (num_img=3)")
+    p.add_argument("--high_level", action="store_true",
+                   help="carry AdaCoF's highpass band (architecture.py:64-66)")
+    p.add_argument("--m", type=int, default=0,
+                   help="hierarchical training: start predicting only the m "
+                        "coarsest levels (0 = all levels, no schedule)")
+    p.add_argument("--m_update", type=int, default=500,
+                   help="increment m every N batches (train/trainer.py:162)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
     _common(p)
@@ -208,17 +233,29 @@ def cmd_train(argv):
     from .train.loop import fit
     from .train.losses import parse_loss_spec
     from .train import trainer as T
+    from .utils import config as C
 
     rng = jax.random.key(0)
     hw = args.crop
+    decay_steps = args.lr_decay_epochs * args.steps_per_epoch or None
+    make_step = None
     if args.regime == "adacof":
         state, step = T.make_adacof_trainer(
             rng, hw, hw, kernel_size=args.kernel_size, dilation=args.dilation,
             lr=args.lr or 1e-3, loss_spec=parse_loss_spec(args.loss),
-            optimizer=args.optimizer,
+            optimizer=args.optimizer, lr_decay_steps=decay_steps,
+            vgg_checkpoint=args.vgg_checkpoint,
         )
     elif args.regime == "phase":
-        state, step, _, _ = T.make_phase_trainer(rng, hw, hw, lr=args.lr or 1e-3)
+        adacof_vars = None
+        if args.mode == "fusion" or args.high_level:
+            adacof_vars = _load_weights(args, hw, hw).adacof
+        state, step, _, make_step = T.make_phase_trainer(
+            rng, hw, hw, lr=args.lr or 1e-3, mode=args.mode,
+            model_variant=args.model_variant, adacof_vars=adacof_vars,
+            kernel_size=args.kernel_size, dilation=args.dilation,
+            high_level=args.high_level,
+        )
     else:
         w = _load_weights(args, hw, hw)
         state, step = T.make_fusion_trainer(
@@ -226,6 +263,23 @@ def cmd_train(argv):
             kernel_size=args.kernel_size, dilation=args.dilation,
             lr=args.lr or 1e-4,
         )
+
+    # persist the full config next to the checkpoints (train/train.py:107-111)
+    cfg = C.Config()
+    cfg.adacof.kernel_size = args.kernel_size
+    cfg.adacof.dilation = args.dilation
+    cfg.adacof.checkpoint = args.adacof_checkpoint
+    cfg.phase_net.checkpoint = args.phase_checkpoint
+    cfg.fusion_net.checkpoint = args.fusion_checkpoint
+    cfg.train.epochs = args.epochs
+    cfg.train.batch_size = args.batch_size
+    cfg.train.lr = args.lr or {"adacof": 1e-3, "phase": 1e-3, "fusion": 1e-4}[args.regime]
+    cfg.train.optimizer = args.optimizer
+    cfg.train.loss = args.loss
+    cfg.train.crop = args.crop
+    cfg.train.out_dir = args.out_dir
+    cfg.train.data_dir = args.data_dir
+    C.save(cfg, f"{args.out_dir}/config.json")
 
     if args.data_dir:
         ds = Vimeo90kTriplets(args.data_dir)
@@ -241,7 +295,6 @@ def cmd_train(argv):
         mesh = make_mesh()
         pstep = data_parallel(step, mesh)
         state = replicate(mesh, state)
-        import jax.numpy as jnp_
 
         step = lambda s, b: pstep(s, shard_batch(mesh, b))
 
@@ -249,6 +302,8 @@ def cmd_train(argv):
         state, step, batches, args.out_dir,
         epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
         jit=not args.data_parallel,
+        make_step=make_step if args.m else None,
+        m_init=args.m or None, m_update=args.m_update,
     )
     print(f"trained {int(state.step)} steps; checkpoints in {args.out_dir}/checkpoint")
 

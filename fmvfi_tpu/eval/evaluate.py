@@ -44,23 +44,45 @@ def evaluate_frames(
     method: str = "fusion",
     dim: int = 512,
     max_num: Optional[int] = None,
+    return_preds: bool = False,
+    batch_size: int = 4,
 ) -> Dict[str, np.ndarray]:
-    """Score every (i, i+1, i+2) triplet.  Returns {metric: (n_triplets,)}."""
+    """Score every (i, i+1, i+2) triplet.  Returns {metric: (n_triplets,)}.
+
+    Triplet pairs are STACKED and run through the jitted pipeline at
+    batch > 1 (the reference loops one pair at a time and even reloads
+    PhaseNet per pair, interpolate_twoframe.py:135-137); metrics are vmapped.
+    With return_preds=True the dict also carries "preds": (n, H, W, 3) uint8
+    for visualization."""
     frames = crop_center(frames, dim)
     n, h, w, _ = frames.shape
     fn = _interp_fn(weights, h, w, method)
-    jmetrics = jax.jit(lambda p, t: all_metrics(p, t))
+    jmetrics = jax.jit(jax.vmap(all_metrics))
 
     n_triplets = n - 2
     if max_num is not None:
         n_triplets = min(n_triplets, max_num)
-    out: Dict[str, List[float]] = {k: [] for k in METRIC_NAMES}
-    for i in range(n_triplets):
-        pred = fn(jnp.asarray(frames[i][None]), jnp.asarray(frames[i + 2][None]))
-        m = jmetrics(pred[0], jnp.asarray(frames[i + 1]))
+    out: Dict[str, List[np.ndarray]] = {k: [] for k in METRIC_NAMES}
+    preds_all: List[np.ndarray] = []
+    for i0 in range(0, n_triplets, batch_size):
+        i1 = min(n_triplets, i0 + batch_size)
+        f1 = jnp.asarray(frames[i0:i1])
+        f2 = jnp.asarray(frames[i0 + 2 : i1 + 2])
+        tgt = jnp.asarray(frames[i0 + 1 : i1 + 1])
+        preds = fn(f1, f2)
+        m = jmetrics(preds, tgt)
         for k in METRIC_NAMES:
-            out[k].append(float(m[k]))
-    return {k: np.asarray(v) for k, v in out.items()}
+            out[k].append(np.asarray(m[k]))
+        if return_preds:
+            preds_all.append(
+                (np.asarray(preds) * 255.0).clip(0, 255).astype(np.uint8)
+            )
+    result = {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
+    if return_preds:
+        result["preds"] = (
+            np.concatenate(preds_all) if preds_all else np.zeros((0, h, w, 3), np.uint8)
+        )
+    return result
 
 
 def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
@@ -82,24 +104,57 @@ def evaluate_suite(
     dim: int = 512,
     max_num: Optional[int] = 10,
     overwrite: bool = False,
+    visualize: bool = True,
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Run the full benchmark suite; caches per (set, method) to
     `<out_dir>/result_<set>_<method>.npz`.  Returns
-    {set: {method: {metric: mean}}} and writes a summary.json."""
+    {set: {method: {metric: mean}}} and writes a summary.json.
+
+    With visualize=True (the reference always does, evaluate.py:264-266) each
+    set also gets target/prediction/|diff| panels per triplet and a stitched
+    <set>.avi under <out_dir>/panels_<set>/."""
+    from .visualize import panels_to_video, prediction_panel
+
     os.makedirs(out_dir, exist_ok=True)
     if sets is None:
         sets = synthetic_sets(dim)
     summary: Dict[str, Dict[str, Dict[str, float]]] = {}
     for name, frames in sets.items():
         summary[name] = {}
+        preds_by_method: Dict[str, np.ndarray] = {}
         for method in methods:
             cache = os.path.join(out_dir, f"result_{name}_{method}.npz")
             if os.path.exists(cache) and not overwrite:
                 data = dict(np.load(cache))
+                if visualize and "preds" not in data:
+                    data = evaluate_frames(
+                        frames, weights, method, dim, max_num, return_preds=True
+                    )
+                    np.savez(cache, **data)
             else:
-                data = evaluate_frames(frames, weights, method, dim, max_num)
+                data = evaluate_frames(
+                    frames, weights, method, dim, max_num, return_preds=visualize
+                )
                 np.savez(cache, **data)
+            if "preds" in data:
+                preds_by_method[method] = data.pop("preds")
             summary[name][method] = {k: float(v.mean()) for k, v in data.items()}
+        if visualize and preds_by_method:
+            cropped = crop_center(frames, dim)
+            n_panels = min(p.shape[0] for p in preds_by_method.values())
+            panel_paths = []
+            for i in range(n_panels):
+                path = os.path.join(out_dir, f"panels_{name}", f"panel_{i:03d}.png")
+                prediction_panel(
+                    cropped[i + 1],
+                    {m: p[i] / 255.0 for m, p in preds_by_method.items()},
+                    out_path=path,
+                )
+                panel_paths.append(path)
+            if panel_paths:
+                panels_to_video(
+                    panel_paths, os.path.join(out_dir, f"{name}.avi")
+                )
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

@@ -102,10 +102,41 @@ def gradient_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean((grads(a) - grads(b)) ** 2))
 
 
-def all_metrics(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
+def make_vgg_lpips(vgg_checkpoint: str):
+    """VGG16-feature LPIPS (gated on a user-supplied torchvision vgg16
+    checkpoint — no network egress here).  Implements the LPIPS construction
+    of Zhang et al. that piq.LPIPS wraps (evaluate_image.py:21-28): images to
+    [-1,1]-style normalized VGG space, features unit-normalized across
+    channels at relu{1_2,2_2,3_3,4_3,5_3}, squared differences spatially
+    averaged and summed over layers.  DOCUMENTED DEVIATION: the published
+    LPIPS applies *learned* per-channel linear weights before averaging; those
+    weights ship with the lpips package (also not fetchable), so this uses the
+    paper's unit-weight baseline variant.  Returns f(pred, target) -> scalar
+    for (H, W, 3) images."""
+    from ..train.vgg import LPIPS_TAPS, VGGFeatures, vgg16_params_from_torch
+
+    variables = vgg16_params_from_torch(vgg_checkpoint, full=True)
+    model = VGGFeatures(full=True, taps=LPIPS_TAPS)
+
+    def lpips_fn(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        fp = model.apply(variables, pred[None])
+        ft = model.apply(variables, target[None])
+        total = 0.0
+        for a, b in zip(fp, ft):
+            na = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
+            nb = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1))
+        return total
+
+    return lpips_fn
+
+
+def all_metrics(pred: jnp.ndarray, target: jnp.ndarray, lpips_fn=None) -> dict:
     """The reference harness's per-image metric vector
-    (evaluate_image.py:21-28): [SSIM, LPIPS(sub), PSNR, SSD, L1, mean, var]."""
-    return {
+    (evaluate_image.py:21-28): [SSIM, LPIPS, PSNR, SSD, L1, mean, var].
+    `lpips_fn` (from make_vgg_lpips) adds the real VGG-feature LPIPS when a
+    vgg16 checkpoint is configured; lpips_sub stays as the offline fallback."""
+    out = {
         "ssim": ssim(pred, target),
         "lpips_sub": gradient_distance(pred, target),
         "psnr": psnr(pred, target),
@@ -114,3 +145,6 @@ def all_metrics(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
         "mean_diff": mean_diff(pred, target),
         "var_diff": var_diff(pred, target),
     }
+    if lpips_fn is not None:
+        out["lpips_vgg"] = lpips_fn(pred, target)
+    return out

@@ -101,10 +101,20 @@ def fit(
     probe: Optional[PsnrProbe] = None,
     resume: bool = True,
     jit: bool = True,
+    make_step: Optional[Callable[[Optional[int]], Callable]] = None,
+    m_init: Optional[int] = None,
+    m_update: int = 500,
+    m_max: int = 10,
 ):
     """Run the loop.  `batches` yields (f1, target, f2) NHWC batches forever;
     an epoch is `steps_per_epoch` batches (or one pass if the iterator is
-    finite and steps_per_epoch is None)."""
+    finite and steps_per_epoch is None).
+
+    Hierarchical-m training (PhaseNet): pass `make_step` (from
+    make_phase_trainer) and `m_init`; m increments every `m_update` batches
+    within an epoch, capped at `m_max`, and the step is rebuilt (recompiled)
+    at each increment — the reference's schedule at
+    /root/reference/src/train/trainer.py:162-163."""
     from ..utils.checkpoint import Checkpointer
 
     writer = MetricsWriter(out_dir)
@@ -112,6 +122,9 @@ def fit(
     if resume and ckptr.latest() is not None:
         state = ckptr.restore(state)
 
+    m = m_init
+    if make_step is not None and m is not None:
+        step_fn = make_step(m)
     fn = jax.jit(step_fn) if jit else step_fn
     it = iter(batches)
     step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
@@ -127,10 +140,20 @@ def fit(
             step += 1
             n += 1
             if step % log_every == 0:
-                writer.write(step, metrics, epoch=epoch)
+                writer.write(step, metrics, epoch=epoch, **({"m": m} if m is not None else {}))
             if step % ckpt_every == 0:
                 ckptr.save(step, state)
                 writer.plot()
+            if (
+                make_step is not None
+                and m is not None
+                and n % m_update == 0
+                and n > 0
+                and m < m_max
+            ):
+                m += 1
+                step_fn = make_step(m)
+                fn = jax.jit(step_fn) if jit else step_fn
         if probe is not None:
             p = probe(state)
             writer.write(step, {"probe_psnr": p}, epoch=epoch)

@@ -70,13 +70,25 @@ class LossSpec(NamedTuple):
         return total
 
 
-_SUPPORTED = {"Charb", "L1", "MSE", "g_Spatial", "g_Occlusion"}
-_UNAVAILABLE = {"VGG", "GAN", "WGAN_GP", "FI_GAN", "T_WGAN_GP"}
+_SIMPLE = {"Charb", "L1", "MSE", "g_Spatial", "g_Occlusion"}
+GAN_TYPES = {"GAN", "WGAN", "WGAN_GP", "FI_GAN", "T_WGAN_GP"}
+
+
+def gan_terms(spec: LossSpec) -> List[Tuple[float, str]]:
+    """The adversarial terms of a spec (reference matches by substring 'GAN',
+    losses/__init__.py:25)."""
+    return [(w, n) for w, n in spec.terms if n in GAN_TYPES]
+
+
+def has_term(spec: LossSpec, name: str) -> bool:
+    return any(n == name for _, n in spec.terms)
 
 
 def parse_loss_spec(spec: str) -> LossSpec:
     """'1*Charb+0.01*g_Spatial+0.005*g_Occlusion' -> LossSpec.
-    (loss factory grammar of losses/__init__.py:14-42)"""
+    (loss factory grammar of losses/__init__.py:14-42; VGG and the GAN family
+    parse here and are wired up by make_adacof_trainer — VGG needs a
+    user-supplied torchvision vgg16 checkpoint, see train/vgg.py)"""
     terms: List[Tuple[float, str]] = []
     for part in spec.split("+"):
         part = part.strip()
@@ -86,13 +98,10 @@ def parse_loss_spec(spec: str) -> LossSpec:
         if not m:
             raise ValueError(f"bad loss term '{part}' (want 'weight*Name')")
         w, name = float(m.group(1)), m.group(2)
-        if name in _UNAVAILABLE:
-            raise NotImplementedError(
-                f"loss '{name}' needs pretrained/adversarial components that are "
-                "not available in this offline build (VGG weights cannot be "
-                "downloaded; GAN losses land with the training expansion)"
+        if name not in _SIMPLE and name != "VGG" and name not in GAN_TYPES:
+            raise ValueError(
+                f"unknown loss '{name}' (supported: "
+                f"{sorted(_SIMPLE) + ['VGG'] + sorted(GAN_TYPES)})"
             )
-        if name not in _SUPPORTED:
-            raise ValueError(f"unknown loss '{name}' (supported: {_SUPPORTED})")
         terms.append((w, name))
     return LossSpec(tuple(terms))

@@ -61,6 +61,7 @@ def make_phase_trainer(
     adacof_vars=None,
     kernel_size: int = 5,
     dilation: int = 1,
+    high_level: bool = False,
 ):
     """PhaseNet training on (frame1, target, frame2) RGB NHWC triplets.
 
@@ -68,6 +69,10 @@ def make_phase_trainer(
     mode='fusion': frozen AdaCoF provides side inputs (train/trainer.py:78-99);
       model_variant 0 -> num_img=4 (f1, f2, ada_warped1, ada_warped2),
       model_variant 1 -> num_img=3 (f1, f2, ada_blended).
+    high_level=True: the reconstruction carries AdaCoF's highpass residual
+      instead of PhaseNet's zeros (architecture.py:64-66, --high_level at
+      train/train.py:46) — the Lab-converted AdaCoF prediction rides through
+      the same pyramid pass and donates its `high` band.
     The target frame rides through the SAME pyramid pass (trainer.py:94-104).
 
     Note: the reference's shipped trainer calls its model without threading the
@@ -81,12 +86,12 @@ def make_phase_trainer(
     (architecture.py:59-61, exchange range [0, height-m))."""
     height = height or max_pyr_height(h, w)
     filters = make_filters(h, w, height)
-    if mode == "fusion":
-        num_img = 4 if model_variant == 0 else 3
-        assert adacof_vars is not None, "fusion phase-training needs AdaCoF"
+    num_img = {"phase": 2, "fusion": 4 if model_variant == 0 else 3}[mode]
+    if mode == "fusion" or high_level:
+        assert adacof_vars is not None, (
+            "fusion/high_level phase-training needs AdaCoF weights"
+        )
         adacof = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
-    else:
-        num_img = 2
     core = PhaseNetCore(num_img=num_img)
     tx = optax.adam(lr)
 
@@ -103,8 +108,10 @@ def make_phase_trainer(
             _to_chan_batch(rgb_to_lab(f1)),
             _to_chan_batch(rgb_to_lab(f2)),
         ]
-        if mode == "fusion":
+        ada = None
+        if mode == "fusion" or high_level:
             ada = adacof.apply(jax.lax.stop_gradient(adacof_vars), f1, f2)
+        if mode == "fusion":
             if model_variant == 0:
                 groups.append(_to_chan_batch(rgb_to_lab(ada.warped0)))
                 groups.append(_to_chan_batch(rgb_to_lab(ada.warped2)))
@@ -112,9 +119,16 @@ def make_phase_trainer(
                 groups.append(_to_chan_batch(rgb_to_lab(ada.blended)))
         labt = _to_chan_batch(rgb_to_lab(target))
         groups.append(labt)
+        if high_level:
+            # AdaCoF prediction decomposed in the SAME pass; only its highpass
+            # band is consumed (architecture.py:64-66)
+            groups.append(_to_chan_batch(rgb_to_lab(ada.blended)))
         # one pyramid pass for inputs AND target
         vals = decompose(jnp.concatenate(groups, 0), filters)
         parts = dec_ops.split_frames(vals, len(groups))
+        if high_level:
+            v_ada = parts[-1]
+            parts = parts[:-1]
         vt = parts[-1]
         low, phases, amps = dec_ops.concat_for_net(parts[:-1])
         lown, pn, an, norm = normalize_inputs(low, phases, amps)
@@ -127,7 +141,12 @@ def make_phase_trainer(
             mutable=["batch_stats"] if train else [],
         )
         lo, pp, ap = out
-        dec = predictions_to_decomp(lo, pp, ap, norm, jnp.zeros_like(vt.high))
+        high = (
+            jax.lax.stop_gradient(v_ada.high)
+            if high_level
+            else jnp.zeros_like(vt.high)
+        )
+        dec = predictions_to_decomp(lo, pp, ap, norm, high)
         new_stats = updates.get("batch_stats", batch_stats) if train else batch_stats
         return labt, dec, vt, new_stats
 
@@ -191,19 +210,63 @@ def make_adacof_trainer(
     lr: float = 1e-3,
     loss_spec: Optional[LossSpec] = None,
     optimizer: str = "adamax",
+    lr_decay_steps: Optional[int] = None,
+    lr_decay_rate: float = 0.5,
+    vgg_checkpoint: str = "",
 ):
     """AdaCoF training (config of the published checkpoints: Vimeo90k,
-    ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion)."""
-    from .losses import parse_loss_spec
+    ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion).
+
+    - `lr_decay_steps`: step-decay schedule x`lr_decay_rate` every N steps,
+      reproducing make_scheduler (adacof/utility.py:47-58, StepLR gamma=0.5
+      every 20 epochs — pass epochs_to_steps(20) here).
+    - VGG term (losses/__init__.py:22-24): perceptual conv4_3 MSE, gated on a
+      user-supplied torchvision vgg16 checkpoint (no network egress).
+    - GAN-family terms (losses/__init__.py:25-30): the Adversarial state
+      (inner critic optimizer) rides in TrainState.extra and updates once per
+      step, as the reference's hidden per-call update does."""
+    from .adversarial import Adversarial
+    from .losses import gan_terms, has_term, parse_loss_spec
 
     spec = loss_spec or parse_loss_spec("1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
     model = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
-    tx = {"adam": optax.adam, "adamax": optax.adamax, "sgd": optax.sgd}[optimizer](lr)
+    schedule = (
+        optax.exponential_decay(
+            lr, lr_decay_steps, lr_decay_rate, staircase=True
+        )
+        if lr_decay_steps
+        else lr
+    )
+    tx = {"adam": optax.adam, "adamax": optax.adamax, "sgd": optax.sgd}[optimizer](
+        schedule
+    )
     dummy = jnp.zeros((1, h, w, 3))
     variables = model.init(rng, dummy, dummy)
-    state = _init_state(variables["params"], None, tx)
 
-    def loss_fn(params, batch):
+    vgg_loss = None
+    if has_term(spec, "VGG"):
+        from .vgg import VGGLoss
+
+        if not vgg_checkpoint:
+            raise ValueError(
+                "loss spec contains VGG: pass vgg_checkpoint= (a torchvision "
+                "vgg16 state dict; this offline build cannot download one)"
+            )
+        vgg_loss = VGGLoss(vgg_checkpoint)
+
+    gans = gan_terms(spec)
+    if len(gans) > 1:
+        raise ValueError(f"at most one adversarial term per spec, got {gans}")
+    adv = None
+    adv_state = None
+    if gans:
+        rng, sub = jax.random.split(rng)
+        adv = Adversarial(gans[0][1], sub, patch_size=min(h, w))
+        adv_state = adv.init_state()
+
+    state = _init_state(variables["params"], adv_state, tx)
+
+    def loss_fn(params, adv_state, batch):
         f1, target, f2 = batch
         out = model.apply({"params": params}, f1, f2)
         w1, a1, b1, w2, a2, b2 = out.heads
@@ -215,16 +278,25 @@ def make_adacof_trainer(
             "g_Spatial": g_spatial,
             "g_Occlusion": g_occ,
         }
-        return spec(values), values
+        new_adv = adv_state
+        if vgg_loss is not None:
+            values["VGG"] = vgg_loss(out.blended, target)
+        if adv is not None:
+            g_loss, new_adv, d_metrics = adv.step(
+                adv_state, out.blended, target, (f1, f2)
+            )
+            values[gans[0][1]] = g_loss
+            values["d_loss"] = d_metrics["d_loss"]
+        return spec(values), (values, new_adv)
 
     def step_fn(state: TrainState, batch):
-        (loss, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        (loss, (values, new_adv)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.extra, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **values}
-        return TrainState(params, None, opt_state, state.step + 1), metrics
+        return TrainState(params, new_adv, opt_state, state.step + 1), metrics
 
     return state, step_fn
 

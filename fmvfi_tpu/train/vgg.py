@@ -18,35 +18,52 @@ import numpy as np
 
 # conv layers up to conv4_3 (torchvision features indices 0..21)
 _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
+# full vgg16 conv trunk through conv5_3 (torchvision features 0..29)
+_CFG_FULL = _CFG + ["M", 512, 512, 512]
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# relu indices (in conv counting) after which LPIPS taps features:
+# relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+LPIPS_TAPS = (1, 3, 6, 9, 12)
+
 
 class VGGFeatures(nn.Module):
-    """VGG16 trunk through conv4_3 + ReLU (NHWC)."""
+    """VGG16 trunk (NHWC).  Default: conv4_3+ReLU features (the perceptual
+    loss of losses/vgg.py:16-22).  With taps=LPIPS_TAPS returns the 5
+    standard LPIPS feature maps (after each block's last ReLU)."""
+
+    full: bool = False
+    taps: tuple = ()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         x = (x - _MEAN) / _STD
         i = 0
-        for v in _CFG:
+        tapped = []
+        for v in _CFG_FULL if self.full else _CFG:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.relu(nn.Conv(v, (3, 3), padding="SAME", name=f"conv{i}")(x))
                 i += 1
-        return x
+                if self.taps and (i - 1) in self.taps:
+                    tapped.append(x)
+        return tapped if self.taps else x
 
 
-def vgg16_params_from_torch(path: str) -> Dict[str, Any]:
+# torchvision features indices of the conv layers (full vgg16)
+_TORCH_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def vgg16_params_from_torch(path: str, full: bool = False) -> Dict[str, Any]:
     """Convert a torchvision vgg16 state dict (features.*.weight/bias) into
     VGGFeatures params."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    # torchvision layer indices of the convs up to conv4_3
-    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    conv_idx = _TORCH_CONV_IDX if full else _TORCH_CONV_IDX[:10]
     params = {}
     for i, li in enumerate(conv_idx):
         w = sd[f"features.{li}.weight"].numpy().transpose(2, 3, 1, 0)

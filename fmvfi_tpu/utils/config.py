@@ -74,11 +74,13 @@ class Config:
 
 
 def add_to_parser(parser: argparse.ArgumentParser, cls: Type = Config, prefix=""):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            add_to_parser(parser, f.type, prefix=f"{prefix}{f.name}.")
+        t = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(t):
+            add_to_parser(parser, t, prefix=f"{prefix}{f.name}.")
         else:
             default = f.default if f.default is not dataclasses.MISSING else None
             parser.add_argument(
@@ -121,13 +123,15 @@ def load(path: str) -> Config:
         raw = json.load(f)
 
     def build(cls, d):
+        import typing
+
+        hints = typing.get_type_hints(cls)  # resolves string annotations
         kwargs = {}
         for fld in dataclasses.fields(cls):
             if fld.name in d:
                 v = d[fld.name]
-                kwargs[fld.name] = (
-                    build(fld.type, v) if dataclasses.is_dataclass(fld.type) else v
-                )
+                t = hints.get(fld.name, fld.type)
+                kwargs[fld.name] = build(t, v) if dataclasses.is_dataclass(t) else v
         return cls(**kwargs)
 
     return build(Config, raw)
