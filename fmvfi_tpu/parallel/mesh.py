@@ -17,14 +17,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
+    """1-D data mesh by default; pass axis_names + shape for multi-axis, e.g.
+    make_mesh(8, ("data", "spatial"), (4, 2)) — batch over 4 groups of 2
+    H-sharded chips (lay the fastest-varying axis over intra-host ICI
+    neighbours: jax.devices() order is ICI-contiguous on TPU slices)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if len(axis_names) == 1:
         arr = np.array(devs[:n])
     else:
-        raise NotImplementedError("multi-axis meshes land with spatial sharding")
+        if shape is None:
+            raise ValueError(
+                f"multi-axis mesh {tuple(axis_names)} needs an explicit shape"
+            )
+        if int(np.prod(shape)) != n:
+            raise ValueError(f"mesh shape {shape} != {n} devices")
+        arr = np.array(devs[:n]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
 

@@ -38,3 +38,43 @@ def spatial_apply(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
         return jfn(jax.device_put(weights, rep), f1, f2)
 
     return wrapper
+
+
+def data_spatial_sharding(
+    mesh: Mesh, batch_axis: str = "data", spatial_axis: str = "spatial"
+) -> NamedSharding:
+    """NHWC with batch over `batch_axis` AND height over `spatial_axis`."""
+    return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
+
+
+def fusion_spatial_apply(
+    weights,
+    mesh: Mesh,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+    **kw,
+) -> Callable:
+    """2-D (data x spatial) fusion inference: batch sharded over `batch_axis`,
+    image height over `spatial_axis`.  The conv subgraphs (AdaCoF U-Net,
+    FusionNet, warp gathers) partition with halo exchanges; the FFT subgraphs
+    are pinned to batch-only sharding inside the pipeline (XLA all-gathers the
+    H-shards before them — see pipeline.interpolate._wsc).  Returns
+    fn(frame1, frame2) -> fused frames with the same 2-D sharding."""
+    from ..pipeline.interpolate import fusion_interpolate
+
+    rep = NamedSharding(mesh, P())
+    sh = data_spatial_sharding(mesh, batch_axis, spatial_axis)
+    jfn = jax.jit(
+        lambda w_, a, b: fusion_interpolate(
+            w_, a, b, spatial_mesh=mesh, batch_axis=batch_axis,
+            spatial_axis=spatial_axis, **kw
+        ),
+        in_shardings=(rep, sh, sh),
+        out_shardings=sh,
+    )
+    weights_r = jax.device_put(weights, rep)
+
+    def wrapper(f1, f2):
+        return jfn(weights_r, jax.device_put(f1, sh), jax.device_put(f2, sh))
+
+    return wrapper

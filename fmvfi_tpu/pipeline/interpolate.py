@@ -62,11 +62,22 @@ def _from_chan_batch(x: jnp.ndarray, channels: int = 3) -> jnp.ndarray:
 
 
 def _phase_net_predict(
-    phase_vars, chan_batch: jnp.ndarray, filters, m=None, compute_dtype=None
+    phase_vars,
+    chan_batch: jnp.ndarray,
+    filters,
+    m=None,
+    compute_dtype=None,
+    spatial_mesh=None,
+    batch_axis: str = "data",
 ):
     """Shared PhaseNet sub-graph: a packed 2-frame channel batch
     (2*B*3, H, W) -> predicted single-frame decomposition (B*3 leading)."""
-    vals = decompose(chan_batch, filters)
+    if spatial_mesh is not None:
+        vals = _shmap_batch(
+            lambda flt, x: decompose(x, flt), spatial_mesh, batch_axis, 1
+        )(filters, chan_batch)
+    else:
+        vals = decompose(chan_batch, filters)
     v1, v2 = dec_ops.split_frames(vals, 2)
     low, phases, amps = dec_ops.concat_for_net([v1, v2])
     lown, pn, an, norm = normalize_inputs(low, phases, amps)
@@ -76,7 +87,57 @@ def _phase_net_predict(
     return predictions_to_decomp(lo, pp, ap, norm, high)
 
 
-def fusion_uncertainty(ada_pred: jnp.ndarray, phase_pred: jnp.ndarray, filters):
+def _wsc(x, mesh, *spec):
+    """Optional sharding constraint (no-op without a mesh)."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*spec))
+    )
+
+
+def _shmap_batch(fn, mesh, batch_axis, n_img_args, n_outs=1):
+    """Run an FFT-heavy, per-sample-independent section under shard_map over
+    the BATCH axis of a 2-D (data x spatial) mesh: each device computes its
+    batch shard with ordinary local FFTs (replicated across the spatial axis
+    — FFTs need whole rows/columns, so H-sharding them would force gathers
+    anyway, and the XLA CPU backend additionally rejects the layouts SPMD
+    propagation produces inside fft thunks).  `fn(filters, *imgs)`; images
+    and outputs are leading-batch-axis arrays/pytrees."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(batch_axis)
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(),) + (spec,) * n_img_args,
+        out_specs=spec if n_outs == 1 else (spec,) * n_outs,
+        check_rep=False,
+    )
+
+
+def fusion_uncertainty(
+    ada_pred: jnp.ndarray,
+    phase_pred: jnp.ndarray,
+    filters,
+    spatial_mesh=None,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+):
+    """Dispatch wrapper: under a 2-D mesh the whole (per-sample-independent)
+    uncertainty section runs shard_mapped over the batch axis; see
+    _fusion_uncertainty_impl for the math."""
+    if spatial_mesh is not None:
+        return _shmap_batch(
+            _fusion_uncertainty_impl, spatial_mesh, batch_axis, 2, n_outs=2
+        )(filters, ada_pred, phase_pred)
+    return _fusion_uncertainty_impl(filters, ada_pred, phase_pred)
+
+
+def _fusion_uncertainty_impl(filters, ada_pred: jnp.ndarray, phase_pred: jnp.ndarray):
     """The two pyramid-derived uncertainty maps of the fusion pipeline
     (trainer.py:122-146), restructured around linearity for the TPU:
 
@@ -186,6 +247,9 @@ def fusion_interpolate(
     return_parts: bool = False,
     filters=None,
     compute_dtype=None,
+    spatial_mesh=None,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
 ):
     """The full fusion pipeline (trainer.predict / interp, §3.3 of SURVEY):
 
@@ -198,12 +262,19 @@ def fusion_interpolate(
 
     Pass `filters` explicitly when jitting at high resolution (see
     phase_interpolate).
-    """
+
+    `spatial_mesh`: a 2-D (data x spatial) Mesh for H-sharded execution of
+    the conv subgraphs — the FFT subgraphs are pinned to batch-only sharding
+    (see _wsc); the warp uses the XLA-gather path under spatial sharding
+    (the Pallas kernel is a single-device program)."""
     b, h, w, _ = frame1.shape
     if filters is None:
         filters = make_filters(h, w, height or max_pyr_height(h, w))
     adacof = AdaCoFNet(
-        kernel_size=kernel_size, dilation=dilation, dtype=compute_dtype
+        kernel_size=kernel_size,
+        dilation=dilation,
+        dtype=compute_dtype,
+        use_pallas=False if spatial_mesh is not None else None,
     )
 
     # 1. AdaCoF
@@ -216,15 +287,26 @@ def fusion_interpolate(
     lab2 = rgb_to_lab(frame2)
     lab_batch = jnp.concatenate([_to_chan_batch(lab1), _to_chan_batch(lab2)], 0)
     dec = _phase_net_predict(
-        weights.phase_net, lab_batch, filters, compute_dtype=compute_dtype
+        weights.phase_net,
+        lab_batch,
+        filters,
+        compute_dtype=compute_dtype,
+        spatial_mesh=spatial_mesh,
+        batch_axis=batch_axis,
     )
-    lab_pred = reconstruct(dec, filters)
+    if spatial_mesh is not None:
+        lab_pred = _shmap_batch(
+            lambda flt, d: reconstruct(d, flt), spatial_mesh, batch_axis, 1
+        )(filters, dec)
+    else:
+        lab_pred = reconstruct(dec, filters)
     phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
+    phase_pred = _wsc(phase_pred, spatial_mesh, batch_axis, spatial_axis)
 
     # 3. uncertainty maps (trainer.py:122-146), frequency-domain fast path —
     # see fusion_uncertainty for the linearity restructuring.
     ada_uncertainty, phase_uncertainty = fusion_uncertainty(
-        ada_pred, phase_pred, filters
+        ada_pred, phase_pred, filters, spatial_mesh, batch_axis, spatial_axis
     )
 
     # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The first

@@ -119,3 +119,56 @@ def test_spatial_sharded_phase_interpolate():
     ref = jax.jit(infer)(pv, f1, f2)
     sharded = spatial_apply(infer, mesh)(pv, f1, f2)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=5e-5)
+
+
+def test_2d_data_spatial_fusion_matches_single_device():
+    """Full fusion inference on a 2-D (data=4 x spatial=2) mesh: conv
+    subgraphs H-sharded (XLA halo exchange), FFT sections shard_mapped over
+    the batch axis with ordinary local FFTs (replicated across the spatial
+    axis) — see pipeline.interpolate._shmap_batch."""
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.models.fusion_net import FusionNet
+    from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
+    from fmvfi_tpu.ops import decomp as dec_ops
+    from fmvfi_tpu.ops.pyramid import decompose, make_filters, max_pyr_height
+    from fmvfi_tpu.parallel.spatial import fusion_spatial_apply
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
+
+    h = w = 64
+    key = jax.random.key(0)
+    filters = make_filters(h, w, max_pyr_height(h, w))
+    vals = decompose(jnp.zeros((3, h, w)), filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    pv = PhaseNetCore(num_img=2).init(key, lown, pn, an)
+    z = jnp.zeros((1, h, w, 3))
+    av = AdaCoFNet(kernel_size=5, dilation=1).init(key, z, z)
+    fv = FusionNet().init(key, z, z, z, jnp.zeros((1, h, w, 6)), z)
+    weights = FusionWeights(pv, av, fv)
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    rng = np.random.default_rng(7)
+    f1 = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+
+    ref = jax.jit(lambda w_, a, b: fusion_interpolate(w_, a, b))(weights, f1, f2)
+    out = fusion_spatial_apply(weights, mesh)(f1, f2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_multihost_helpers_single_process():
+    from fmvfi_tpu.parallel.distributed import (
+        global_batch_array,
+        initialize,
+        local_batch_slice,
+    )
+
+    initialize()  # no-op in a single-process environment
+    assert local_batch_slice(8) == (0, 8)
+    mesh = make_mesh()
+    arr = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    g = global_batch_array(mesh, arr)
+    assert g.shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(g), arr)
+    assert len(g.sharding.device_set) == 8

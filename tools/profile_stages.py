@@ -100,43 +100,22 @@ def main():
 
     phase_pred, _ = timed(jax.jit(rec_fn), (dec,), it, "4. pyramid reconstruct + lab->rgb (x3)")
 
-    # 5. uncertainty decompose (partial)
-    nlev_total = filters.height - 2
-    unc_levels = (0,) + tuple(range(max(nlev_total - 6, 0), nlev_total))
+    # 5+6+7. uncertainty maps (frequency-domain fast path)
+    from fmvfi_tpu.pipeline.interpolate import fusion_uncertainty
+    from fmvfi_tpu.ops.filters import median_filter_fast as _mff
 
-    def unc_dec_fn(a, p):
-        rgb_batch = jnp.concatenate([_to_chan_batch(a), _to_chan_batch(p)], 0)
-        return decompose(rgb_batch, filters, active_levels=unc_levels)
+    _, _ = timed(
+        jax.jit(lambda a, p: fusion_uncertainty(a, p, filters)),
+        (ada_pred, phase_pred),
+        it,
+        "5-7. uncertainty maps (fast path)",
+    )
 
-    uvals, _ = timed(jax.jit(unc_dec_fn), (ada_pred, phase_pred), it, "5. unc decompose partial (x6)")
-
-    # 6. phase uncertainty (finest-band recon + gaussian)
-    def unc_a(uvals):
-        h_both = reconstruct(
-            dec_ops.keep_finest_levels(uvals, 1), filters, active_levels=(0,), use_low=False
-        )
-        h_ada, h_ph = jnp.split(h_both, 2, axis=0)
-        h_diff = jnp.abs(_from_chan_batch(h_ada).mean(-1) - _from_chan_batch(h_ph).mean(-1))
-        return gaussian_blur(jnp.clip(h_diff * 100.0, 0.0, 1.0), 5.0)
-
-    _, _ = timed(jax.jit(unc_a), (uvals,), it, "6. phase uncertainty (fine recon+blur)")
-
-    # 7. adacof uncertainty (coarse recon + median)
-    nlev = nlev_total
-
-    def unc_b(uvals):
-        vals_ada, vals_ph = dec_ops.split_frames(uvals, 2)
-        vals_diff = dec_ops.keep_coarsest_levels(dec_ops.abs_difference(vals_ph, vals_ada), 6)
-        freq_diff = (
-            _from_chan_batch(
-                reconstruct(vals_diff, filters, active_levels=tuple(range(nlev - 6, nlev)), use_high=False)
-            ).mean(-1)
-            * 30.0
-        )
-        freq_med = median_filter_fast(freq_diff, size=50)
-        return jnp.clip(jnp.abs(freq_diff - freq_med) * 5.0, 0.0, 1.0)
-
-    _, _ = timed(jax.jit(unc_b), (uvals,), it, "7. adacof uncertainty (coarse recon+median)")
+    # 7b. median filter alone (the biggest single op inside the maps)
+    g = jnp.mean(ada_pred - phase_pred, axis=-1)
+    _, _ = timed(
+        jax.jit(lambda x: _mff(x, size=50)), (g,), it, "7b. median_filter_fast alone"
+    )
 
     # 8. baseline passes 1+2 (batched)
     def base12(a, p, b):
