@@ -164,7 +164,11 @@ def cmd_evaluate(argv):
     p = argparse.ArgumentParser(prog="evaluate")
     p.add_argument("--out_dir", default="./results")
     p.add_argument("--test_sets", default="synthetic",
-                   help="'synthetic' or comma-separated video/dir paths")
+                   help="'synthetic', comma-separated video/frame-dir paths, "
+                        "or adapter specs like middlebury:<in>:<gt>, "
+                        "davis:<in>:<gt>, ucf101:<dir>, vimeo:<root>, "
+                        "middlebury_eval:<dir> (scored per scene like "
+                        "TestModule.py)")
     p.add_argument("--methods", default="fusion")
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--max_num", type=int, default=10)
@@ -172,24 +176,50 @@ def cmd_evaluate(argv):
     _common(p)
     args = p.parse_args(argv)
 
-    from .eval.evaluate import evaluate_suite, load_set, synthetic_sets
+    from .eval.datasets import load_test_set
+    from .eval.evaluate import (
+        evaluate_suite,
+        evaluate_triplets,
+        load_set,
+        synthetic_sets,
+    )
     from .eval.visualize import metric_bars
 
-    if args.test_sets == "synthetic":
-        sets = synthetic_sets(args.dim)
-    else:
-        sets = {s.split("/")[-1]: load_set(s) for s in args.test_sets.split(",")}
+    adapters = {a + ":" for a in
+                ("middlebury", "middlebury_eval", "davis", "ucf101", "vimeo")}
+    specs = [] if args.test_sets == "synthetic" else args.test_sets.split(",")
+    paired = [s for s in specs if any(s.startswith(a) for a in adapters)]
+    plain = [s for s in specs if s not in paired]
+
     weights = _load_weights(args, args.dim, args.dim)
-    summary = evaluate_suite(
-        weights,
-        args.out_dir,
-        sets=sets,
-        methods=args.methods.split(","),
-        dim=args.dim,
-        max_num=args.max_num,
-        overwrite=args.overwrite,
-    )
-    metric_bars(summary, out_path=f"{args.out_dir}/results.png")
+    summary = {}
+    if args.test_sets == "synthetic" or plain:
+        if args.test_sets == "synthetic":
+            sets = synthetic_sets(args.dim)
+        else:
+            sets = {s.split("/")[-1]: load_set(s) for s in plain}
+        summary = evaluate_suite(
+            weights,
+            args.out_dir,
+            sets=sets,
+            methods=args.methods.split(","),
+            dim=args.dim,
+            max_num=args.max_num,
+            overwrite=args.overwrite,
+        )
+        metric_bars(summary, out_path=f"{args.out_dir}/results.png")
+
+    for spec in paired:
+        name = spec.split(":")[0]
+        triplets = load_test_set(spec, max_num=args.max_num)
+        for method in args.methods.split(","):
+            res = evaluate_triplets(
+                triplets, weights, method,
+                output_dir=f"{args.out_dir}/{name}_{method}",
+            )
+            with open(f"{args.out_dir}/result_{name}_{method}.json", "w") as f:
+                json.dump(res, f, indent=2)
+            summary[f"{name}/{method}"] = res.get("average", {})
     print(json.dumps(summary, indent=2))
 
 

@@ -86,14 +86,22 @@ def evaluate_frames(
 
 
 def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
-    """Stand-ins for the LFS-absent Testset clips: textured scenes under
-    slow/medium/fast constant translation."""
-    return {
-        f"synth_step{int(s)}": translation_video(
-            n_frames, dim, dim, step=float(s), seed=int(s)
-        )
-        for s in (1, 4, 10)
-    }
+    """Stand-ins for the LFS-absent Testset clips, one set per motion regime
+    (translation / large motion / rotation / zoom / occlusion / brightness —
+    the regimes the fusion architecture is motivated by) plus the legacy
+    step-translation sets."""
+    from .synth import benchmark_sets
+
+    sets = benchmark_sets(dim, min(n_frames, 4))
+    sets.update(
+        {
+            f"synth_step{int(s)}": translation_video(
+                n_frames, dim, dim, step=float(s), seed=int(s)
+            )
+            for s in (1, 10)
+        }
+    )
+    return sets
 
 
 def evaluate_suite(
@@ -165,3 +173,54 @@ def load_set(path: str, resize=None) -> np.ndarray:
     if os.path.isdir(path):
         return read_frame_dir(path)
     return read_video_frames(path, resize=resize)
+
+
+def evaluate_triplets(
+    triplets: Dict[str, tuple],
+    weights,
+    method: str = "fusion",
+    output_dir: Optional[str] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Score explicit {scene: (f1, gt, f2)} triplets at native resolution
+    (the TestModule.Test contract: per-scene PSNR + 'average' row,
+    /root/reference/src/adacof/TestModule.py:43-64).  Scenes are bucketed by
+    shape so each resolution compiles once; gt=None scenes are interpolated
+    and written but not scored.  With `output_dir`, predictions are saved as
+    <output_dir>/<scene>/output.png."""
+    import jax.numpy as jnp
+
+    from .metrics import all_metrics
+
+    by_shape: Dict[tuple, List[str]] = {}
+    for name, (f1, gt, f2) in triplets.items():
+        by_shape.setdefault(f1.shape, []).append(name)
+
+    results: Dict[str, Dict[str, float]] = {}
+    for shape, names in by_shape.items():
+        h, w, _ = shape
+        fn = _interp_fn(weights, h, w, method)
+        jm = jax.jit(lambda p, t: all_metrics(p, t))
+        for name in names:
+            f1, gt, f2 = triplets[name]
+            pred = fn(jnp.asarray(f1[None]), jnp.asarray(f2[None]))[0]
+            if output_dir is not None:
+                import cv2
+
+                d = os.path.join(output_dir, name)
+                os.makedirs(d, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(d, "output.png"),
+                    cv2.cvtColor(
+                        (np.asarray(pred) * 255).clip(0, 255).astype(np.uint8),
+                        cv2.COLOR_RGB2BGR,
+                    ),
+                )
+            if gt is not None:
+                m = jm(pred, jnp.asarray(gt))
+                results[name] = {k: float(v) for k, v in m.items()}
+    if results:
+        results["average"] = {
+            k: float(np.mean([r[k] for r in results.values()]))
+            for k in next(iter(results.values()))
+        }
+    return results

@@ -97,3 +97,120 @@ def translation_video(
             for i in range(n_frames)
         ]
     )
+
+
+def _warp_grid(h: int, w: int):
+    return np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64), indexing="ij"
+    )
+
+
+def rotation_video(
+    n_frames: int, h: int = 512, w: int = 512, deg_per_frame: float = 1.0, seed: int = 1
+):
+    """Rigid rotation about the image center — the large-coherent-motion
+    regime PhaseNet handles and per-pixel kernels (max offset F·d) cannot
+    track far from the center."""
+    rng = np.random.default_rng(seed)
+    margin = int(np.ceil(0.21 * max(h, w))) + 2  # covers rotations <= ~22deg
+    big = _texture(rng, h + 2 * margin, w + 2 * margin, octaves=6)
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    yy, xx = _warp_grid(h, w)
+    frames = []
+    for i in range(n_frames):
+        a = np.deg2rad(deg_per_frame * i)
+        ys = cy + (yy - cy) * np.cos(a) - (xx - cx) * np.sin(a)
+        xs = cx + (yy - cy) * np.sin(a) + (xx - cx) * np.cos(a)
+        frames.append(_sample_bilinear(big, ys + margin, xs + margin).astype(np.float32))
+    return np.stack(frames)
+
+
+def zoom_video(
+    n_frames: int, h: int = 512, w: int = 512, scale_per_frame: float = 1.01, seed: int = 2
+):
+    """Zoom-in about the center (camera dolly): radial motion field."""
+    rng = np.random.default_rng(seed)
+    margin = int(np.ceil(0.3 * max(h, w))) + 2
+    big = _texture(rng, h + 2 * margin, w + 2 * margin, octaves=6)
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    yy, xx = _warp_grid(h, w)
+    frames = []
+    for i in range(n_frames):
+        s = scale_per_frame ** (-i)  # sample from a shrinking source window
+        ys = cy + (yy - cy) * s
+        xs = cx + (xx - cx) * s
+        frames.append(_sample_bilinear(big, ys + margin, xs + margin).astype(np.float32))
+    return np.stack(frames)
+
+
+def occlusion_video(
+    n_frames: int,
+    h: int = 512,
+    w: int = 512,
+    fg_step: float = 6.0,
+    bg_step: float = -2.0,
+    seed: int = 3,
+):
+    """Two textured layers with independent motion: a foreground square
+    (sharp boundary) occludes/disoccludes the background — exactly the
+    regime the fusion architecture exists for (AdaCoF artifacts at
+    disocclusions, PhaseNet blur on the sharp boundary)."""
+    rng = np.random.default_rng(seed)
+    margin = int(np.ceil(max(abs(fg_step), abs(bg_step)) * n_frames)) + 2
+    bg = _texture(rng, h + 2 * margin, w + 2 * margin, octaves=6)
+    fg = _texture(rng, h + 2 * margin, w + 2 * margin, octaves=4) * 0.8 + 0.2
+    yy, xx = _warp_grid(h, w)
+    # foreground support: centered square, half the frame
+    sq_y0, sq_y1 = h // 4, 3 * h // 4
+    sq_x0, sq_x1 = w // 4, 3 * w // 4
+    frames = []
+    for i in range(n_frames):
+        bgs = _sample_bilinear(bg, yy + margin, xx + margin + i * bg_step)
+        fgs = _sample_bilinear(fg, yy + margin, xx + margin + i * fg_step)
+        # the square boundary moves rigidly with the foreground texture
+        # (content sampled at xx + i*step appears shifted by -i*step on
+        # screen, so the mask uses the same source-space coordinates)
+        fy = yy
+        fx = xx + i * fg_step
+        mask = (
+            (fy >= sq_y0) & (fy < sq_y1) & (fx >= sq_x0) & (fx < sq_x1)
+        ).astype(np.float32)[..., None]
+        frames.append((mask * fgs + (1 - mask) * bgs).astype(np.float32))
+    return np.stack(frames)
+
+
+def brightness_video(
+    n_frames: int,
+    h: int = 512,
+    w: int = 512,
+    step: float = 2.0,
+    gain_per_frame: float = 0.93,
+    seed: int = 4,
+):
+    """Translation + global brightness decay (flash/exposure change):
+    violates brightness constancy, the failure mode of pure warping —
+    the phase/amplitude decomposition absorbs it in amplitude."""
+    frames = translation_video(n_frames, h, w, step=step, seed=seed)
+    gains = gain_per_frame ** np.arange(n_frames, dtype=np.float32)
+    return np.clip(frames * gains[:, None, None, None], 0.0, 1.0)
+
+
+def large_motion_video(
+    n_frames: int, h: int = 512, w: int = 512, step: float = 24.0, seed: int = 5
+):
+    """Translation far beyond AdaCoF's reach (kernel_size*dilation taps ~ a
+    few px): PhaseNet's coarse pyramid levels still lock on."""
+    return translation_video(n_frames, h, w, step=step, seed=seed)
+
+
+def benchmark_sets(dim: int = 512, n_frames: int = 4):
+    """The full synthetic benchmark: one set per motion regime (the regimes
+    the reference's README motivates the fusion with)."""
+    return {
+        "translation": translation_video(n_frames, dim, dim, step=4.0, seed=0),
+        "large_motion": large_motion_video(n_frames, dim, dim),
+        "rotation": rotation_video(n_frames, dim, dim, deg_per_frame=1.5),
+        "zoom": zoom_video(n_frames, dim, dim, scale_per_frame=1.02),
+        "occlusion": occlusion_video(n_frames, dim, dim),
+        "brightness": brightness_video(n_frames, dim, dim),
+    }

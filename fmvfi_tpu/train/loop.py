@@ -77,6 +77,15 @@ class PsnrProbe:
         self.triplets = triplets  # list of (f1, mid, f2) arrays (H, W, 3)
         self.predict_fn = predict_fn
 
+    @classmethod
+    def from_middlebury(cls, input_dir: str, gt_dir: str, predict_fn: Callable):
+        """Per-epoch Middlebury-other PSNR probe (the reference's training
+        regression gate, adacof/trainer.py:33,60 + TestModule.py:43-64)."""
+        from ..eval.datasets import middlebury_other
+
+        scenes = middlebury_other(input_dir, gt_dir)
+        return cls([scenes[k] for k in sorted(scenes)], predict_fn)
+
     def __call__(self, state) -> float:
         import jax.numpy as jnp
 
