@@ -244,6 +244,266 @@ def adacof_warp_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+# ------------------------------------------------------- backward kernels
+
+
+def _bwd_kernel(
+    g_ref,
+    w_ref,
+    a_ref,
+    b_ref,
+    x_ref,
+    dw_ref,
+    da_ref,
+    db_ref,
+    xband,
+    gtile,
+    sem,
+    semg,
+    *,
+    F,
+    dilation,
+    R,
+    tile_h,
+    w_out,
+    C,
+):
+    """One (batch, row-block, tap) program computing the three field
+    gradients — the reference's kernel_AdaCoF_updateGrad{Weight,Alpha,Beta}
+    (cupy_module/adacof.py:67-258) fused into ONE pass over the shared
+    4-corner gather:
+
+      dW[t]    = sum_c g_c * sample_c          (bilinear sample, as forward)
+      dalpha[t]= sum_c g_c * W[t] * (row(A+1)-row(A) blend)   d(sample)/dfi
+      dbeta[t] = sum_c g_c * W[t] * (col(B+1)-col(B) blend)   d(sample)/dfj
+
+    x stays in HBM; the row band (all C channels) and the C grad tiles are
+    DMA'd into VMEM scratch once per row-block (at tap 0) and reused by all
+    F^2 taps."""
+    n = pl.program_id(0)  # batch index (fields batch)
+    rb = pl.program_id(1)
+    t = pl.program_id(2)
+    kd = (t // F) * dilation
+    ld = jax.lax.rem(t, F) * dilation
+    row0 = rb * tile_h
+
+    @pl.when(t == 0)
+    def _():
+        band_h = xband.shape[1]
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(n * C, C), pl.ds(row0, band_h), :], xband, sem
+        )
+        cp.start()
+        cp.wait()
+        cpg = pltpu.make_async_copy(
+            g_ref.at[pl.ds(n * C, C), pl.ds(row0, tile_h), :], gtile, semg
+        )
+        cpg.start()
+        cpg.wait()
+
+    w = w_ref[0, 0]  # (tile_h, W)
+    alpha = jnp.clip(a_ref[0, 0], -R, R)
+    beta = jnp.clip(b_ref[0, 0], -R, R)
+    A = _trunc(alpha)
+    Bf = _trunc(beta)
+    fi = alpha - A
+    fj = beta - Bf
+    Ai = A.astype(jnp.int32) + R
+    Bi = Bf.astype(jnp.int32) + R
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_out), 1)
+    src_j = col_ids + ld + Bi
+
+    pmin = jnp.min(Ai)
+    pmax = jnp.max(Ai) + 1
+    n_ctiles = w_out // 128
+
+    z = jnp.zeros((tile_h, w_out), jnp.float32)
+    acc0 = (z,) * (3 * C)
+
+    def body(p, accs):
+        vw = jnp.where(Ai == p, 1.0 - fi, 0.0) + jnp.where(Ai == p - 1, fi, 0.0)
+        # d(vw)/dfi: -1 at the A row, +1 at the A+1 row
+        dvw = jnp.where(Ai == p, -1.0, 0.0) + jnp.where(Ai == p - 1, 1.0, 0.0)
+        s = kd + p
+        start = (s // 8) * 8
+        r = s - start
+        out = list(accs)
+        for c in range(C):
+            cols_s = []
+            cols_dj = []
+            for ct in range(n_ctiles):
+                slab_a = xband[c, pl.ds(start, tile_h + 8), pl.ds(ct * 128, 256)]
+                slab = pltpu.roll(slab_a, -r, axis=0)[0:tile_h]
+                tile0 = slab[:, 0:128]
+                tile1 = slab[:, 128:256]
+                jloc = src_j[:, ct * 128 : (ct + 1) * 128] - ct * 128
+
+                def hgather(idx):
+                    g0 = jnp.take_along_axis(tile0, jnp.clip(idx, 0, 127), axis=1)
+                    g1 = jnp.take_along_axis(
+                        tile1, jnp.clip(idx - 128, 0, 127), axis=1
+                    )
+                    return jnp.where(idx < 128, g0, g1)
+
+                h0 = hgather(jloc)
+                h1 = hgather(jloc + 1)
+                fj_c = fj[:, ct * 128 : (ct + 1) * 128]
+                cols_s.append((1.0 - fj_c) * h0 + fj_c * h1)
+                cols_dj.append(h1 - h0)
+            smp = jnp.concatenate(cols_s, axis=1)
+            dj = jnp.concatenate(cols_dj, axis=1)
+            out[3 * c + 0] = out[3 * c + 0] + vw * smp  # sample
+            out[3 * c + 1] = out[3 * c + 1] + dvw * smp  # d/dfi
+            out[3 * c + 2] = out[3 * c + 2] + vw * dj  # d/dfj
+        return tuple(out)
+
+    accs = jax.lax.fori_loop(pmin, pmax + 1, body, acc0)
+
+    dw = jnp.zeros((tile_h, w_out), jnp.float32)
+    da = jnp.zeros((tile_h, w_out), jnp.float32)
+    db = jnp.zeros((tile_h, w_out), jnp.float32)
+    for c in range(C):
+        g = gtile[c]
+        dw = dw + g * accs[3 * c + 0]
+        da = da + g * accs[3 * c + 1]
+        db = db + g * accs[3 * c + 2]
+    dw_ref[0, 0] = dw
+    da_ref[0, 0] = da * w
+    db_ref[0, 0] = db * w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilation", "max_offset", "tile_h", "interpret", "C")
+)
+def _warp_pallas_bwd_planar(
+    x_pad: jnp.ndarray,  # (B*C, Hp, Wp)
+    g_pad: jnp.ndarray,  # (B*C, Ht, Wt) output grads, channel-planar
+    weight: jnp.ndarray,  # (F2, B, Ht, Wt)
+    offset_i: jnp.ndarray,
+    offset_j: jnp.ndarray,
+    dilation: int,
+    max_offset: int,
+    tile_h: int,
+    interpret: bool,
+    C: int,
+):
+    N, Hp, Wp = x_pad.shape
+    F2, NB, H, W = weight.shape
+    F = int(math.isqrt(F2))
+    R = max_offset
+    grid = (NB, H // tile_h, F2)
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        F=F,
+        dilation=dilation,
+        R=R,
+        tile_h=tile_h,
+        w_out=W,
+        C=C,
+    )
+    field_spec = pl.BlockSpec(
+        (1, 1, tile_h, W),
+        lambda n, rb, t: (t, n, rb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, tile_h, W),
+        lambda n, rb, t: (t, n, rb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    band_h = Hp - H + tile_h
+    shape = jax.ShapeDtypeStruct((F2, NB, H, W), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # g (DMA'd per block)
+            field_spec,
+            field_spec,
+            field_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((C, band_h, Wp), jnp.float32),
+            pltpu.VMEM((C, tile_h, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(g_pad, weight, offset_i, offset_j, x_pad)
+
+
+def adacof_warp_pallas_bwd(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    offset_i: jnp.ndarray,
+    offset_j: jnp.ndarray,
+    g: jnp.ndarray,
+    dilation: int = 1,
+    max_offset: int = 31,
+    tile_h: int = 8,
+    interpret: bool = False,
+    tap_major: bool = False,
+):
+    """Field gradients (dW, dalpha, dbeta) of adacof_warp_pallas.
+
+    Same padded-input contract as the forward; `g` is the output cotangent
+    (B, H, W, C).  Returns gradients in the same layout as the fields
+    (NHWC F2-last, or tap-major (F2, B, H, W) with tap_major=True).  The
+    input gradient is NOT computed here (the reference CUDA module never
+    implemented it either — adacof.py:382)."""
+    Bn, H_in, W_in, Cc = x.shape
+    if tap_major:
+        F2, _, H, W = weight.shape
+    else:
+        _, H, W, F2 = weight.shape
+    F = int(math.isqrt(F2))
+    R = max_offset
+
+    Ht = _round_up(H, tile_h)
+    Wt = _round_up(W, 128)
+    Hp = _round_up(Ht + (F - 1) * dilation + 2 * R + 2 + 8, 8)
+    Wp = Wt + 256
+
+    xp = jnp.transpose(x, (0, 3, 1, 2)).reshape(Bn * Cc, H_in, W_in)
+    xp = jnp.pad(xp, [(0, 0), (R, Hp - H_in - R), (R, Wp - W_in - R)], mode="edge")
+    # grads: zero-pad (padded output rows/cols contribute nothing)
+    gp = jnp.transpose(g, (0, 3, 1, 2)).reshape(Bn * Cc, H, W)
+    gp = jnp.pad(gp, [(0, 0), (0, Ht - H), (0, Wt - W)])
+
+    def pad_fields(f):
+        if tap_major:
+            return jnp.pad(
+                f, [(0, 0), (0, 0), (0, Ht - H), (0, Wt - W)], mode="edge"
+            )
+        f = jnp.pad(f, [(0, 0), (0, Ht - H), (0, Wt - W), (0, 0)], mode="edge")
+        return jnp.transpose(f, (3, 0, 1, 2))
+
+    dw, da, db = _warp_pallas_bwd_planar(
+        xp,
+        gp,
+        pad_fields(weight),
+        pad_fields(offset_i),
+        pad_fields(offset_j),
+        dilation,
+        R,
+        tile_h,
+        interpret,
+        Cc,
+    )
+    dw = dw[:, :, :H, :W]
+    da = da[:, :, :H, :W]
+    db = db[:, :, :H, :W]
+    if tap_major:
+        return dw, da, db
+    to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
+    return to_nhwc(dw), to_nhwc(da), to_nhwc(db)
+
+
 # ------------------------------------------------------------------ vjp
 
 
@@ -262,6 +522,16 @@ def _fwd(x, weight, offset_i, offset_j, dilation, max_offset):
 
 def _bwd(dilation, max_offset, res, g):
     x, weight, offset_i, offset_j = res
+    if jax.default_backend() == "tpu":
+        # Pallas field gradients; dx = zeros — EXACTLY the reference's
+        # training semantics (its CUDA module allocates but never computes
+        # the input gradient, cupy_module/adacof.py:382).  No trainer in
+        # this framework needs dx: the warped operands are either data
+        # frames or stop_gradient'ed frozen-model outputs.
+        dw, da, db = adacof_warp_pallas_bwd(
+            x, weight, offset_i, offset_j, g, dilation, max_offset
+        )
+        return jnp.zeros_like(x), dw, da, db
     _, vjp = jax.vjp(
         lambda xx, ww, aa, bb: adacof_warp_jnp(xx, ww, aa, bb, dilation),
         x,
@@ -292,7 +562,11 @@ def _fwd_tm(x, w_tm, a_tm, b_tm, dilation, max_offset):
 
 def _bwd_tm(dilation, max_offset, res, g):
     x, w_tm, a_tm, b_tm = res
-    to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
+    if jax.default_backend() == "tpu":
+        dw, da, db = adacof_warp_pallas_bwd(
+            x, w_tm, a_tm, b_tm, g, dilation, max_offset, tap_major=True
+        )
+        return jnp.zeros_like(x), dw, da, db
     _, vjp = jax.vjp(
         lambda xx, ww, aa, bb: adacof_warp_jnp(
             xx,

@@ -72,3 +72,28 @@ def test_custom_vjp_gradients_match_jnp():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(w, a, b)
     for t in g_ref:
         assert np.isfinite(np.asarray(t)).all()
+
+
+@pytest.mark.parametrize("F,d,off", [(5, 1, 6.0), (3, 2, 3.0)])
+def test_pallas_backward_matches_jnp_grads(F, d, off):
+    """The fused backward kernel's (dW, dalpha, dbeta) must match jnp
+    autodiff (which itself reproduces the reference's three backward CUDA
+    kernels — ops/adacof.py docstring) to fp32 tolerance."""
+    rng = np.random.default_rng(7)
+    x, w, a, b = _case(rng, 32, 128, F, d, off)
+    g = jnp.asarray(rng.normal(size=(1, 32, 128, 3)).astype(np.float32))
+
+    def f(w_, a_, b_):
+        return adacof_warp(x, w_, a_, b_, d)
+
+    _, vjp = jax.vjp(f, w, a, b)
+    dw_ref, da_ref, db_ref = vjp(g)
+
+    from fmvfi_tpu.ops.adacof_pallas import adacof_warp_pallas_bwd
+
+    dw, da, db = adacof_warp_pallas_bwd(
+        x, w, a, b, g, d, max_offset=31, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=2e-4)
