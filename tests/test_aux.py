@@ -152,3 +152,46 @@ def test_native_u8_to_f32():
     x = np.arange(256, dtype=np.uint8).reshape(16, 16)
     y = native.u8_to_f32(x)
     np.testing.assert_allclose(y, x.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_vgg_lpips_with_synthetic_checkpoint(tmp_path):
+    """make_vgg_lpips loads a torchvision-format vgg16 state dict and yields
+    a positive distance that is zero for identical inputs."""
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    from fmvfi_tpu.eval.metrics import make_vgg_lpips
+
+    # synthetic vgg16 'features' state dict (full conv trunk)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    sd = {}
+    idx = 0
+    cin = 3
+    g = np.random.default_rng(0)
+    for v in cfg:
+        if v == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            (g.normal(size=(v, cin, 3, 3)) * 0.05).astype(np.float32)
+        )
+        sd[f"features.{idx}.bias"] = torch.zeros(v)
+        cin = v
+        idx += 2
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+
+    lpips = make_vgg_lpips(path)
+    a = jnp.asarray(g.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(g.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    assert float(lpips(a, a)) < 1e-6
+    assert float(lpips(a, b)) > 0.0
+
+    # and the metric dict picks it up
+    from fmvfi_tpu.eval.metrics import all_metrics
+
+    m = all_metrics(a, b, lpips_fn=lpips)
+    assert "lpips_vgg" in m and np.isfinite(float(m["lpips_vgg"]))

@@ -1,0 +1,69 @@
+"""Golden-output regression tests: converted-weight quality on fixed
+synthetic inputs must not drift as performance work (rfft, fused heads,
+frequency-domain uncertainty...) touches the numerics.
+
+Values were recorded on the CPU backend with the published converted
+checkpoints (phase_net.pt / fusion_net.pt) + the bundled demo AdaCoF.
+Tolerance 0.05 dB per VERDICT r1 item 10.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+_PHASE_CKPT = "/root/reference/src/phase_net/phase_net.pt"
+needs_ckpts = pytest.mark.skipif(
+    not os.path.exists(_PHASE_CKPT), reason="reference checkpoints not mounted"
+)
+
+
+def _psnr(a, b):
+    return -10 * np.log10(max(np.mean((a - b) ** 2), 1e-12))
+
+
+@pytest.fixture(scope="module")
+def weights():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _fusion_weights
+
+    return _fusion_weights(128, 128)
+
+
+@needs_ckpts
+def test_golden_fusion_and_adacof_128(weights):
+    from fmvfi_tpu.eval.synth import translation_triplet
+    from fmvfi_tpu.pipeline.interpolate import adacof_interpolate, fusion_interpolate
+
+    f1, mid, f2 = translation_triplet(128, 128, dx=2.0, dy=1.0, seed=0)
+    a, b = jnp.asarray(f1[None]), jnp.asarray(f2[None])
+
+    fused = np.asarray(jax.jit(lambda a, b: fusion_interpolate(weights, a, b))(a, b))[0]
+    ada = np.asarray(
+        jax.jit(lambda a, b: adacof_interpolate(weights.adacof, a, b))(a, b)
+    )[0]
+    # recorded 2026-08-16 (round 2), CPU backend, fp32
+    assert abs(_psnr(fused, mid) - 19.180) < 0.05
+    assert abs(_psnr(ada, mid) - 20.960) < 0.05
+
+
+@needs_ckpts
+def test_golden_phase_256(weights):
+    from fmvfi_tpu.eval.synth import translation_triplet
+    from fmvfi_tpu.pipeline.interpolate import phase_interpolate
+    from fmvfi_tpu.utils.convert import phase_net_from_torch
+
+    pv = phase_net_from_torch(_PHASE_CKPT)
+    f1, mid, f2 = translation_triplet(256, 256, dx=6.0, dy=2.0, seed=0)
+    pred = np.asarray(
+        jax.jit(lambda a, b: phase_interpolate(pv, a, b))(
+            jnp.asarray(f1[None]), jnp.asarray(f2[None])
+        )
+    )[0]
+    # recorded 2026-08-16 (round 2), CPU backend, fp32
+    assert abs(_psnr(pred, mid) - 16.059) < 0.05
