@@ -53,15 +53,40 @@ class Vimeo90kTriplets:
 
 
 class SyntheticTriplets:
-    """In-memory stand-in dataset (tests / demos without Vimeo90k on disk)."""
+    """In-memory stand-in dataset (tests / demos without Vimeo90k on disk).
 
-    def __init__(self, n: int = 64, h: int = 256, w: int = 448):
-        from ..eval.synth import translation_triplet
+    mixed=True cycles through all six motion regimes of eval.synth
+    (translation, large motion, rotation, zoom, occlusion, brightness) with
+    jittered parameters — the training diet for the bundled demo AdaCoF."""
 
-        self._items = [
-            translation_triplet(h, w, dx=float(2 + i % 6), dy=float(i % 3), seed=i)
-            for i in range(n)
-        ]
+    def __init__(self, n: int = 64, h: int = 256, w: int = 448, mixed: bool = False):
+        from ..eval import synth
+
+        self._items = []
+        for i in range(n):
+            if not mixed:
+                self._items.append(
+                    synth.translation_triplet(
+                        h, w, dx=float(2 + i % 6), dy=float(i % 3), seed=i
+                    )
+                )
+                continue
+            k = i % 6
+            if k == 0:
+                v = synth.translation_video(3, h, w, step=1.0 + (i % 5), seed=i)
+            elif k == 1:
+                v = synth.large_motion_video(3, h, w, step=8.0 + 3 * (i % 4), seed=i)
+            elif k == 2:
+                v = synth.rotation_video(3, h, w, deg_per_frame=0.5 + 0.5 * (i % 4), seed=i)
+            elif k == 3:
+                v = synth.zoom_video(3, h, w, scale_per_frame=1.005 + 0.005 * (i % 4), seed=i)
+            elif k == 4:
+                v = synth.occlusion_video(
+                    3, h, w, fg_step=2.0 + 2 * (i % 3), bg_step=-1.0 - (i % 2), seed=i
+                )
+            else:
+                v = synth.brightness_video(3, h, w, step=1.0 + (i % 4), seed=i)
+            self._items.append((v[0], v[1], v[2]))
 
     def __len__(self):
         return len(self._items)
