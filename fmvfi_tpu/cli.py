@@ -25,27 +25,28 @@ def _load_weights(args, h, w):
     from .models.registry import get_model
     from .pipeline.interpolate import FusionWeights
     from .utils.convert import (
-        fusion_net_from_torch,
         load_adacof_weights,
+        load_fusion_weights,
         phase_net_from_torch,
     )
 
+    import os
+
+    ckpt_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints"
+    )
     rng = jax.random.key(0)
     z = jnp.zeros((1, max(h, 32), max(w, 32), 3))
+    using_demo_ada = False
     if args.adacof_checkpoint:
         ada = load_adacof_weights(
             args.adacof_checkpoint, args.kernel_size, args.dilation
         )
     else:
-        import os
-
-        demo = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "checkpoints",
-            "adacof_synth_demo.msgpack",
-        )
+        demo = os.path.join(ckpt_dir, "adacof_synth_demo.msgpack")
         if os.path.exists(demo) and args.kernel_size == 5:
             ada = load_adacof_weights(demo)
+            using_demo_ada = True
             print(f"note: using bundled demo AdaCoF weights ({demo}); pass "
                   "--adacof_checkpoint for trained ones", file=sys.stderr)
         else:
@@ -57,10 +58,23 @@ def _load_weights(args, h, w):
             ada = model.init(rng, z, z)
             print("warning: no --adacof_checkpoint, using random AdaCoF weights",
                   file=sys.stderr)
+
+    fusion_ckpt = args.fusion_checkpoint
+    demo_fusion = os.path.join(ckpt_dir, "fusion_synth_demo.msgpack")
+    if (
+        using_demo_ada
+        and os.path.exists(demo_fusion)
+        and fusion_ckpt.endswith("fusion_net.pt")
+    ):
+        # the published FusionNet was trained against the published AdaCoF;
+        # with the demo AdaCoF, prefer the FusionNet finetuned alongside it
+        fusion_ckpt = demo_fusion
+        print(f"note: using bundled demo FusionNet ({demo_fusion}) matched to "
+              "the demo AdaCoF", file=sys.stderr)
     return FusionWeights(
         phase_net=phase_net_from_torch(args.phase_checkpoint),
         adacof=ada,
-        fusion_net=fusion_net_from_torch(args.fusion_checkpoint),
+        fusion_net=load_fusion_weights(fusion_ckpt),
     )
 
 

@@ -248,6 +248,26 @@ def _ifft2s(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=(-2, -1)))
 
 
+def _fft2s_real(x: jnp.ndarray) -> jnp.ndarray:
+    """fft2s for REAL input: rfft2 (half the transform work) + Hermitian
+    mirror of the missing columns (F[r, j] = conj(F[(h-r)%h, w-j]))."""
+    h, w = x.shape[-2], x.shape[-1]
+    rf = jnp.fft.rfft2(x.astype(jnp.float32))
+    ncols = w - (w // 2 + 1)
+    src = rf[..., :, 1 : 1 + ncols]
+    src = jnp.roll(jnp.flip(src, axis=(-2, -1)), 1, axis=-2)
+    full = jnp.concatenate([rf, jnp.conj(src)], axis=-1)
+    return jnp.fft.fftshift(full, axes=(-2, -1))
+
+
+def _ifft2s_real(xs: jnp.ndarray, w: int) -> jnp.ndarray:
+    """real(ifft2s(X)) via the Hermitian projection + irfft2: exact for any
+    X (real() of the inverse == inverse of the Hermitian part)."""
+    x = jnp.fft.ifftshift(xs, axes=(-2, -1))
+    xh = 0.5 * (x + jnp.conj(jnp.roll(jnp.flip(x, (-2, -1)), (1, 1), (-2, -1))))
+    return jnp.fft.irfft2(xh[..., :, : w // 2 + 1], s=(x.shape[-2], w))
+
+
 def finest_recon_mask(filters: PyramidFilters) -> jnp.ndarray:
     """Combined frequency mask M0 such that, for a REAL image x,
 

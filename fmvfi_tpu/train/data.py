@@ -73,9 +73,9 @@ class SyntheticTriplets:
                 continue
             k = i % 6
             if k == 0:
-                v = synth.translation_video(3, h, w, step=1.0 + (i % 5), seed=i)
+                v = synth.translation_video(3, h, w, step=1.0 + (i % 8), seed=i)
             elif k == 1:
-                v = synth.large_motion_video(3, h, w, step=8.0 + 3 * (i % 4), seed=i)
+                v = synth.large_motion_video(3, h, w, step=8.0 + 3 * (i % 5), seed=i)
             elif k == 2:
                 v = synth.rotation_video(3, h, w, deg_per_frame=0.5 + 0.5 * (i % 4), seed=i)
             elif k == 3:

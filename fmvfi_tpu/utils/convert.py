@@ -154,6 +154,24 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
     return {"params": params}
 
 
+def load_fusion_weights(path: str, uncertainty_maps: int = 3):
+    """Load FusionNet weights from fusion_net*.pt OR an fmvfi msgpack file."""
+    if path.endswith(".msgpack"):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.fusion_net import FusionNet
+        from .checkpoint import load_msgpack
+
+        z = jnp.zeros((1, 64, 64, 3))
+        template = FusionNet(uncertainty_maps=uncertainty_maps).init(
+            jax.random.key(0), z, z, z, jnp.zeros((1, 64, 64, 6)),
+            jnp.zeros((1, 64, 64, uncertainty_maps)),
+        )
+        return load_msgpack(path, template)
+    return fusion_net_from_torch(path)
+
+
 def load_adacof_weights(path: str, kernel_size: int = 5, dilation: int = 1):
     """Load AdaCoF weights from a torch ckpt.pth OR an fmvfi msgpack file."""
     if path.endswith(".msgpack"):
