@@ -9,7 +9,7 @@ axis ops on a registered pytree — jit/vmap/grad-safe, no hidden state.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 
@@ -49,10 +49,6 @@ def concat_frames(vals_list: Sequence[Decomp]) -> Decomp:
             for i in range(len(vals_list[0].amplitude))
         ),
     )
-
-
-class NetInputs(Tuple):
-    pass
 
 
 def concat_for_net(vals_list: Sequence[Decomp]):

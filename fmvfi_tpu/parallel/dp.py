@@ -32,16 +32,21 @@ def data_parallel(step_fn: Callable, mesh: Mesh) -> Callable:
 
 
 def data_parallel_apply(fn: Callable, mesh: Mesh) -> Callable:
-    """Wrap `out = fn(weights, *batched_args)` for sharded batch inference."""
+    """Wrap `out = fn(weights, *batched_args)` for sharded batch inference.
+    One jitted executable per arity (built lazily, cached — NOT re-wrapped
+    per call, which would pay dispatch/retrace overhead every time)."""
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
+    cache = {}
 
     def wrapper(weights, *args):
-        jitted = jax.jit(
-            fn,
-            in_shardings=(rep,) + (shard,) * len(args),
-            out_shardings=shard,
-        )
-        return jitted(weights, *args)
+        n = len(args)
+        if n not in cache:
+            cache[n] = jax.jit(
+                fn,
+                in_shardings=(rep,) + (shard,) * n,
+                out_shardings=shard,
+            )
+        return cache[n](weights, *args)
 
     return wrapper

@@ -114,6 +114,8 @@ def fit(
     m_init: Optional[int] = None,
     m_update: int = 500,
     m_max: int = 10,
+    image_probe: Optional[Callable] = None,
+    image_every: int = 100,
 ):
     """Run the loop.  `batches` yields (f1, target, f2) NHWC batches forever;
     an epoch is `steps_per_epoch` batches (or one pass if the iterator is
@@ -123,7 +125,11 @@ def fit(
     make_phase_trainer) and `m_init`; m increments every `m_update` batches
     within an epoch, capped at `m_max`, and the step is rebuilt (recompiled)
     at each increment — the reference's schedule at
-    /root/reference/src/train/trainer.py:162-163."""
+    /root/reference/src/train/trainer.py:162-163.
+
+    `image_probe(state) -> (H, W, 3) array`: rendered to
+    <out_dir>/result/step_<N>.png every `image_every` steps (the reference's
+    fixed sample-frame renders, train/trainer.py:140-142)."""
     from ..utils.checkpoint import Checkpointer
 
     writer = MetricsWriter(out_dir)
@@ -153,6 +159,19 @@ def fit(
             if step % ckpt_every == 0:
                 ckptr.save(step, state)
                 writer.plot()
+            if image_probe is not None and step % image_every == 0:
+                import cv2
+
+                img = np.asarray(image_probe(state))
+                d = os.path.join(out_dir, "result")
+                os.makedirs(d, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(d, f"step_{step:06d}.png"),
+                    cv2.cvtColor(
+                        (img * 255).clip(0, 255).astype(np.uint8),
+                        cv2.COLOR_RGB2BGR,
+                    ),
+                )
             if (
                 make_step is not None
                 and m is not None

@@ -140,3 +140,41 @@ def test_phase_fusion_mode_and_hierarchical():
     batch = _triplet_batch(1, h, w)
     state, m = jax.jit(hstep)(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fit_image_probe(tmp_path):
+    """Sample-image renders every N steps (train/trainer.py:140-142 parity)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fmvfi_tpu.train.loop import fit
+    from fmvfi_tpu.train.trainer import make_adacof_trainer
+
+    rng = np.random.default_rng(0)
+    hw = 32
+    state, step = make_adacof_trainer(jax.random.key(0), hw, hw, kernel_size=3)
+    batches = iter(
+        [
+            tuple(
+                jnp.asarray(rng.uniform(0, 1, (1, hw, hw, 3)).astype(np.float32))
+                for _ in range(3)
+            )
+            for _ in range(4)
+        ]
+    )
+    fit(
+        state,
+        step,
+        batches,
+        str(tmp_path),
+        epochs=1,
+        steps_per_epoch=4,
+        resume=False,
+        image_probe=lambda s: np.full((8, 8, 3), 0.5, np.float32),
+        image_every=2,
+    )
+    files = sorted(os.listdir(tmp_path / "result"))
+    assert files == ["step_000002.png", "step_000004.png"]
