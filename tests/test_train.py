@@ -42,8 +42,8 @@ def test_loss_spec_parser():
         "g_Occlusion": jnp.asarray(200.0),
     }
     assert abs(float(spec(vals)) - (2.0 + 1.0 + 1.0)) < 1e-6
-    with pytest.raises(NotImplementedError):
-        parse_loss_spec("1*VGG")
+    # VGG/GAN terms parse (wiring is validated in tests/test_wiring.py)
+    assert parse_loss_spec("1*VGG+0.01*GAN").terms == ((1.0, "VGG"), (0.01, "GAN"))
     with pytest.raises(ValueError):
         parse_loss_spec("1*Bogus")
 
