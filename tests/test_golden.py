@@ -47,9 +47,10 @@ def test_golden_fusion_and_adacof_128(weights):
     ada = np.asarray(
         jax.jit(lambda a, b: adacof_interpolate(weights.adacof, a, b))(a, b)
     )[0]
-    # recorded 2026-08-16 (round 2), CPU backend, fp32
-    assert abs(_psnr(fused, mid) - 19.180) < 0.05
-    assert abs(_psnr(ada, mid) - 20.960) < 0.05
+    # recorded 2026-08-17 (round 2, retrained mixed-motion demo ckpts),
+    # CPU backend, fp32; fusion beats its adacof component by 2.9 dB here
+    assert abs(_psnr(fused, mid) - 21.537) < 0.05
+    assert abs(_psnr(ada, mid) - 18.654) < 0.05
 
 
 @needs_ckpts
