@@ -209,19 +209,30 @@ def phase_interpolate(
     frame2: jnp.ndarray,
     height: Optional[int] = None,
     filters=None,
+    spatial_mesh=None,
+    batch_axis: str = "data",
 ) -> jnp.ndarray:
     """PhaseNet-only interpolation (config 1 of BASELINE.json).
 
     Pass `filters` (a PyramidFilters pytree) explicitly when jitting at high
-    resolution so the masks are traced HBM arguments, not HLO constants."""
+    resolution so the masks are traced HBM arguments, not HLO constants.
+    `spatial_mesh`: run the FFT sections shard_mapped over the batch axis of
+    a multi-axis mesh (see fusion_interpolate)."""
     b, h, w, _ = frame1.shape
     if filters is None:
         filters = make_filters(h, w, height or max_pyr_height(h, w))
     lab = jnp.concatenate(
         [_to_chan_batch(rgb_to_lab(frame1)), _to_chan_batch(rgb_to_lab(frame2))], 0
     )
-    dec = _phase_net_predict(phase_vars, lab, filters)
-    lab_pred = reconstruct(dec, filters)
+    dec = _phase_net_predict(
+        phase_vars, lab, filters, spatial_mesh=spatial_mesh, batch_axis=batch_axis
+    )
+    if spatial_mesh is not None:
+        lab_pred = _shmap_batch(
+            lambda flt, d: reconstruct(d, flt), spatial_mesh, batch_axis, 1
+        )(filters, dec)
+    else:
+        lab_pred = reconstruct(dec, filters)
     return jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
 
 

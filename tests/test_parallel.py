@@ -172,3 +172,38 @@ def test_multihost_helpers_single_process():
     assert g.shape == (8, 4)
     np.testing.assert_allclose(np.asarray(g), arr)
     assert len(g.sharding.device_set) == 8
+
+
+def test_2d_phase_interpolate_matches_single_device():
+    """phase_interpolate under the 2-D mesh (shard_mapped FFT sections)."""
+    from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
+    from fmvfi_tpu.ops import decomp as dec_ops
+    from fmvfi_tpu.ops.pyramid import decompose, make_filters, max_pyr_height
+    from fmvfi_tpu.pipeline.interpolate import phase_interpolate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h = w = 64
+    key = jax.random.key(0)
+    filters = make_filters(h, w, max_pyr_height(h, w))
+    vals = decompose(jnp.zeros((3, h, w)), filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    pv = PhaseNetCore(num_img=2).init(key, lown, pn, an)
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    rng = np.random.default_rng(9)
+    f1 = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+
+    ref = jax.jit(lambda v, a, b: phase_interpolate(v, a, b))(pv, f1, f2)
+    sh = NamedSharding(mesh, P("data", "spatial", None, None))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda v, a, b: phase_interpolate(v, a, b, spatial_mesh=mesh),
+        in_shardings=(rep, sh, sh),
+        out_shardings=sh,
+    )
+    out = fn(
+        jax.device_put(pv, rep), jax.device_put(f1, sh), jax.device_put(f2, sh)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
