@@ -366,8 +366,19 @@ class AdaCoFNet(nn.Module):
         )(module_normalize(frame0), module_normalize(frame2))
 
         kp = ((self.kernel_size - 1) * self.dilation) // 2
-        warped0 = self._warp(pad_replicate(frame0, kp), w1, a1, b1)
-        warped2 = self._warp(pad_replicate(frame2, kp), w2, a2, b2)
+        # ONE warp launch for both frames: frames stacked on the batch axis,
+        # fields on the tap-major batch axis — same math, half the kernel
+        # dispatches and twice the grid for DMA/compute overlap
+        xs = jnp.concatenate(
+            [pad_replicate(frame0, kp), pad_replicate(frame2, kp)], axis=0
+        )
+        wboth = self._warp(
+            xs,
+            jnp.concatenate([w1, w2], axis=1),
+            jnp.concatenate([a1, a2], axis=1),
+            jnp.concatenate([b1, b2], axis=1),
+        )
+        warped0, warped2 = jnp.split(wboth, 2, axis=0)
         blended = occ * warped0 + (1.0 - occ) * warped2
 
         if self.with_stats:
