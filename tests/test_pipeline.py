@@ -92,3 +92,47 @@ def test_metrics_sanity():
     noisy = jnp.clip(a + 0.1 * jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), 0, 1)
     assert float(ssim(a, noisy)) < 0.99
     assert 15 < float(psnr(a, noisy)) < 30
+
+
+def test_double_frame_rate_and_suite(tmp_path):
+    """Video rate doubling yields 2N-1 frames; evaluate_suite writes cached
+    npz + summary + panels + avi and reuses the cache on rerun."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fmvfi_tpu.eval.evaluate import evaluate_suite
+    from fmvfi_tpu.eval.synth import translation_video
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights
+    from fmvfi_tpu.pipeline.video import double_frame_rate
+
+    hw = 48
+    key = jax.random.key(0)
+    z = jnp.zeros((1, hw, hw, 3))
+    av = AdaCoFNet(kernel_size=5, dilation=1).init(key, z, z)
+    weights = FusionWeights(phase_net=None, adacof=av, fusion_net=None)
+    frames = translation_video(4, hw, hw, step=1.0)
+
+    out = list(double_frame_rate(frames, weights, "adacof"))
+    assert len(out) == 2 * len(frames) - 1
+    np.testing.assert_allclose(out[0], frames[0])
+    np.testing.assert_allclose(out[-1], frames[-1])
+
+    sets = {"tiny": frames}
+    s1 = evaluate_suite(
+        weights, str(tmp_path), sets=sets, methods=("adacof",), dim=hw,
+        max_num=2, visualize=True,
+    )
+    assert "psnr" in s1["tiny"]["adacof"]
+    assert os.path.exists(tmp_path / "result_tiny_adacof.npz")
+    assert os.path.exists(tmp_path / "summary.json")
+    assert os.path.exists(tmp_path / "panels_tiny" / "panel_000.png")
+    assert os.path.exists(tmp_path / "tiny.avi")
+    # cached rerun returns identical means
+    s2 = evaluate_suite(
+        weights, str(tmp_path), sets=sets, methods=("adacof",), dim=hw,
+        max_num=2, visualize=True,
+    )
+    assert s1["tiny"]["adacof"]["psnr"] == s2["tiny"]["adacof"]["psnr"]
