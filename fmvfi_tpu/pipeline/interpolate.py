@@ -384,6 +384,30 @@ def phase_interpolate_jit(phase_vars, frame1, frame2, filters=None):
     return phase_interpolate(phase_vars, frame1, frame2, filters=filters)
 
 
+def baseline_interpolate(
+    weights: FusionWeights,
+    frame1: jnp.ndarray,
+    frame2: jnp.ndarray,
+    kernel_size: int = 5,
+    dilation: int = 1,
+    filters=None,
+) -> jnp.ndarray:
+    """The reference's --baseline output (evaluate.py writes it as the 4th
+    method, interpolate.py:150-158): the spectral-split composite of the
+    PhaseNet prediction (low half-spectrum) and the AdaCoF prediction (high
+    half-spectrum)."""
+    b, h, w, _ = frame1.shape
+    if filters is None:
+        filters = make_filters(h, w, max_pyr_height(h, w))
+    ada = AdaCoFNet(
+        kernel_size=kernel_size, dilation=dilation, with_stats=False
+    ).apply(weights.adacof, frame1, frame2)
+    phase_pred = phase_interpolate(
+        weights.phase_net, frame1, frame2, filters=filters
+    )
+    return spectral_baseline(phase_pred, jnp.clip(ada.blended, 0.0, 1.0))
+
+
 def spectral_baseline(
     frame_lowsrc: jnp.ndarray, frame_highsrc: jnp.ndarray, height: Optional[int] = None
 ) -> jnp.ndarray:

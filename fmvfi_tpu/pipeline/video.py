@@ -84,6 +84,13 @@ def _interp_fn(weights, h: int, w: int, method: str):
 
         jfn = jax.jit(lambda wts, a, b: adacof_interpolate(wts, a, b))
         return lambda a, b: jfn(weights.adacof, a, b)
+    if method == "baseline":
+        from .interpolate import baseline_interpolate
+
+        jfn = jax.jit(
+            lambda wts, flt, a, b: baseline_interpolate(wts, a, b, filters=flt)
+        )
+        return lambda a, b: jfn(weights, filters, a, b)
     raise ValueError(f"unknown method {method}")
 
 

@@ -136,3 +136,31 @@ def test_double_frame_rate_and_suite(tmp_path):
         max_num=2, visualize=True,
     )
     assert s1["tiny"]["adacof"]["psnr"] == s2["tiny"]["adacof"]["psnr"]
+
+
+def test_baseline_method(triplet):
+    """--methods baseline: spectral-split composite (evaluate.py's 4th
+    output) runs end-to-end and stays in range."""
+    import jax
+
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
+    from fmvfi_tpu.ops import decomp as dec_ops
+    from fmvfi_tpu.ops.pyramid import decompose, make_filters, max_pyr_height
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights, baseline_interpolate
+
+    f1, mid, f2 = triplet  # already (1, H, W, 3)
+    _, h, w, _ = f1.shape
+    key = jax.random.key(0)
+    filters = make_filters(h, w, max_pyr_height(h, w))
+    vals = decompose(jnp.zeros((3, h, w)), filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    pv = PhaseNetCore(num_img=2).init(key, lown, pn, an)
+    z = jnp.zeros((1, h, w, 3))
+    av = AdaCoFNet(kernel_size=5, dilation=1).init(key, z, z)
+    weights = FusionWeights(pv, av, None)
+
+    out = jax.jit(lambda w_, a, b: baseline_interpolate(w_, a, b))(weights, f1, f2)
+    assert out.shape == (1, h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
