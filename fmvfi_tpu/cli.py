@@ -71,10 +71,22 @@ def _load_weights(args, h, w):
         fusion_ckpt = demo_fusion
         print(f"note: using bundled demo FusionNet ({demo_fusion}) matched to "
               "the demo AdaCoF", file=sys.stderr)
+
+    # Resolve the FusionNet mode, auto-detected from the checkpoint name the
+    # way the reference publishes them (fusion_net_phase.pt = variant 1,
+    # fusion_net_nouncertainty.pt = uncertainty_maps 0; fusion_net.py:69-77,
+    # fusion_net/train.py:79).  Explicit flags override.
+    name = os.path.basename(fusion_ckpt)
+    if getattr(args, "fusion_variant", -1) < 0:
+        args.fusion_variant = 1 if "phase" in name else 0
+    if getattr(args, "fusion_maps", -1) < 0:
+        args.fusion_maps = 0 if "nouncertainty" in name else 3
     return FusionWeights(
         phase_net=phase_net_from_torch(args.phase_checkpoint),
         adacof=ada,
-        fusion_net=load_fusion_weights(fusion_ckpt),
+        fusion_net=load_fusion_weights(
+            fusion_ckpt, uncertainty_maps=args.fusion_maps
+        ),
     )
 
 
@@ -87,6 +99,14 @@ def _common(p):
         "--fusion_checkpoint", default="/root/reference/src/fusion_net/fusion_net.pt"
     )
     p.add_argument("--adacof_checkpoint", default="")
+    p.add_argument("--fusion_variant", type=int, default=-1, choices=[-1, 0, 1],
+                   help="FusionNet residual base: 0 = baseline composite, "
+                        "1 = phase prediction (fusion_net_phase.pt); "
+                        "-1 = auto from checkpoint name")
+    p.add_argument("--fusion_maps", type=int, default=-1, choices=[-1, 0, 3],
+                   help="uncertainty-map channels: 3 = full, 0 = no-maps "
+                        "ablation (fusion_net_nouncertainty.pt); -1 = auto "
+                        "from checkpoint name")
     p.add_argument("--kernel_size", type=int, default=5)
     p.add_argument("--dilation", type=int, default=1)
     p.add_argument("--model", default="",
@@ -141,7 +161,11 @@ def cmd_interpolate(argv):
         from .pipeline.interpolate import fusion_interpolate
 
         out, parts = jax.jit(
-            lambda a, b: fusion_interpolate(weights, a, b, return_parts=True)
+            lambda a, b: fusion_interpolate(
+                weights, a, b, return_parts=True,
+                variant=args.fusion_variant,
+                uncertainty_maps=args.fusion_maps,
+            )
         )(jnp.asarray(f1[None]), jnp.asarray(f2[None]))
         if args.output_phase:
             write(args.output_phase, parts["phase"][0])
@@ -151,7 +175,8 @@ def cmd_interpolate(argv):
             write(args.output_baseline, parts["baseline"][0])
         out = out[0]
     else:
-        fn = _interp_fn(weights, h, w, args.method)
+        fn = _interp_fn(weights, h, w, args.method,
+                        args.fusion_variant, args.fusion_maps)
         out = fn(jnp.asarray(f1[None]), jnp.asarray(f2[None]))[0]
     write(args.output_frame, out)
 
@@ -169,7 +194,8 @@ def cmd_video(argv):
     frames = load_set(args.input)
     h, w = frames.shape[1:3]
     weights = _load_weights(args, h, w)
-    out = list(double_frame_rate(frames, weights, args.method))
+    out = list(double_frame_rate(frames, weights, args.method,
+                                 args.fusion_variant, args.fusion_maps))
     write_frame_dir(args.output_dir, out)
     print(f"wrote {len(out)} frames to {args.output_dir}")
 

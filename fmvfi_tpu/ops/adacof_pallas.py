@@ -509,7 +509,19 @@ def adacof_warp_pallas_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=31):
-    """Pallas forward, exact-jnp backward (reference CUDA gradient math)."""
+    """Pallas forward, exact-jnp backward (reference CUDA gradient math).
+
+    Gradient contract (identical on every backend):
+      * d/dx is ZERO — the reference CUDA module allocates but never computes
+        the input gradient (cupy_module/adacof.py:382), and every trainer in
+        this framework warps either data frames or stop_gradient'ed frozen
+        outputs.  Callers that need to differentiate through the warped image
+        must use `adacof_warp_jnp` directly.
+      * dW/dα/dβ follow the UNCLIPPED reference semantics for
+        |offset| < max_offset; at saturation the TPU kernel returns the
+        gradient evaluated at the clamped offset (the forward clamps for DMA
+        bounds), which trained fields never reach.
+    """
     return adacof_warp_pallas(
         x, weight, offset_i, offset_j, dilation, max_offset
     )
@@ -539,7 +551,10 @@ def _bwd(dilation, max_offset, res, g):
         offset_i,
         offset_j,
     )
-    return vjp(g)
+    _dx, dw, da, db = vjp(g)
+    # dx = zeros on EVERY backend (see docstring): keeps gradients
+    # backend-independent and matches the reference's training semantics.
+    return jnp.zeros_like(x), dw, da, db
 
 
 adacof_warp_fast.defvjp(_fwd, _bwd)
@@ -547,7 +562,8 @@ adacof_warp_fast.defvjp(_fwd, _bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, dilation=1, max_offset=31):
-    """Tap-major-field variant: fields (F2, B, H, W), zero transposes."""
+    """Tap-major-field variant: fields (F2, B, H, W), zero transposes.
+    Same gradient contract as `adacof_warp_fast` (dx = zeros everywhere)."""
     return adacof_warp_pallas(
         x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
     )
@@ -580,7 +596,9 @@ def _bwd_tm(dilation, max_offset, res, g):
         a_tm,
         b_tm,
     )
-    return vjp(g)
+    _dx, dw, da, db = vjp(g)
+    # same backend-independent dx = zeros contract as adacof_warp_fast
+    return jnp.zeros_like(x), dw, da, db
 
 
 adacof_warp_fast_tm.defvjp(_fwd_tm, _bwd_tm)

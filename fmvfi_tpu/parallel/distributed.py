@@ -32,7 +32,10 @@ def initialize(
         initialize("10.0.0.1:1234", num_processes=4, process_id=rank)
 
     Must run before any other JAX call in the process."""
-    if jax.process_count() > 1:
+    # NOTE: the guard must NOT touch the local XLA backend (jax.process_count()
+    # would initialize it, after which jax.distributed.initialize() always
+    # raises "must be called before any JAX computations").
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

@@ -125,10 +125,10 @@ def fusion_uncertainty(
     filters,
     spatial_mesh=None,
     batch_axis: str = "data",
-    spatial_axis: str = "spatial",
 ):
     """Dispatch wrapper: under a 2-D mesh the whole (per-sample-independent)
-    uncertainty section runs shard_mapped over the batch axis; see
+    uncertainty section runs shard_mapped over the batch axis (NOT the
+    spatial axis — FFT sections need whole rows/columns); see
     _fusion_uncertainty_impl for the math."""
     if spatial_mesh is not None:
         return _shmap_batch(
@@ -261,6 +261,8 @@ def fusion_interpolate(
     spatial_mesh=None,
     batch_axis: str = "data",
     spatial_axis: str = "spatial",
+    variant: int = 0,
+    uncertainty_maps: int = 3,
 ):
     """The full fusion pipeline (trainer.predict / interp, §3.3 of SURVEY):
 
@@ -277,7 +279,26 @@ def fusion_interpolate(
     `spatial_mesh`: a 2-D (data x spatial) Mesh for H-sharded execution of
     the conv subgraphs — the FFT subgraphs are pinned to batch-only sharding
     (see _wsc); the warp uses the XLA-gather path under spatial sharding
-    (the Pallas kernel is a single-device program)."""
+    (the Pallas kernel is a single-device program).
+
+    `variant`/`uncertainty_maps` select the reference's published checkpoint
+    modes (fusion_net.py:69-77, fusion_net/train.py:79): (0, 3) is the
+    default `fusion_net.pt`; (1, 3) is `fusion_net_phase.pt` (residual on
+    the PhaseNet prediction); (0, 0) is `fusion_net_nouncertainty.pt` — the
+    uncertainty-map section (and AdaCoF's flow-stats tail) is skipped
+    entirely, saving ~45 ms/frame at 1080p."""
+    b, full_h, full_w, _ = frame1.shape
+    # FusionNet's encoder/decoder needs /8 spatial dims (models/fusion_net.py);
+    # AdaCoF already pads itself to /32 internally.  Off-grid inputs are
+    # reflect-padded here and every output cropped back — the reference
+    # instead center-crops to --dim (interpolate_twoframe.py:109-113), losing
+    # pixels; we keep them all.
+    pad_h = (-full_h) % 8
+    pad_w = (-full_w) % 8
+    if pad_h or pad_w:
+        pad = [(0, 0), (0, pad_h), (0, pad_w), (0, 0)]
+        frame1 = jnp.pad(frame1, pad, mode="reflect")
+        frame2 = jnp.pad(frame2, pad, mode="reflect")
     b, h, w, _ = frame1.shape
     if filters is None:
         filters = make_filters(h, w, height or max_pyr_height(h, w))
@@ -286,12 +307,14 @@ def fusion_interpolate(
         dilation=dilation,
         dtype=compute_dtype,
         use_pallas=False if spatial_mesh is not None else None,
+        with_stats=uncertainty_maps != 0,
     )
 
     # 1. AdaCoF
     ada_out = adacof.apply(weights.adacof, frame1, frame2)
     ada_pred = ada_out.blended
-    flow_var_map = ada_out.uncertainty[..., 0]  # (B, H, W)
+    if uncertainty_maps:
+        flow_var_map = ada_out.uncertainty[..., 0]  # (B, H, W)
 
     # 2. PhaseNet (Lab domain)
     lab1 = rgb_to_lab(frame1)
@@ -315,10 +338,12 @@ def fusion_interpolate(
     phase_pred = _wsc(phase_pred, spatial_mesh, batch_axis, spatial_axis)
 
     # 3. uncertainty maps (trainer.py:122-146), frequency-domain fast path —
-    # see fusion_uncertainty for the linearity restructuring.
-    ada_uncertainty, phase_uncertainty = fusion_uncertainty(
-        ada_pred, phase_pred, filters, spatial_mesh, batch_axis, spatial_axis
-    )
+    # see fusion_uncertainty for the linearity restructuring.  Skipped
+    # entirely for the no-maps ablation (fusion_net_nouncertainty.pt).
+    if uncertainty_maps:
+        ada_uncertainty, phase_uncertainty = fusion_uncertainty(
+            ada_pred, phase_pred, filters, spatial_mesh, batch_axis
+        )
 
     # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The first
     # two passes are independent -> ONE batched call (B doubled); all three
@@ -338,24 +363,42 @@ def fusion_interpolate(
     # 5. FusionNet blend; other = Lab frames (trainer.py:208), maps order
     # [ada_unc, phase_unc, flow_var] (trainer.py:210)
     other = jnp.concatenate([lab1, lab2], axis=-1)
-    maps = jnp.stack([ada_uncertainty, phase_uncertainty, flow_var_map], axis=-1)
-    fusion = FusionNet(dtype=compute_dtype)
+    if uncertainty_maps:
+        maps = jnp.stack(
+            [ada_uncertainty, phase_uncertainty, flow_var_map], axis=-1
+        )
+    else:
+        maps = None
+    fusion = FusionNet(dtype=compute_dtype, uncertainty_maps=uncertainty_maps)
     final = fusion.apply(
-        weights.fusion_net, base, ada_pred, phase_pred, other, maps, 0
+        weights.fusion_net, base, ada_pred, phase_pred, other, maps, variant
     )
+    crop = (
+        (lambda t: t[:, :full_h, :full_w]) if (pad_h or pad_w) else (lambda t: t)
+    )
+    final = crop(final)
     if return_parts:
-        return final, {
-            "phase": phase_pred,
-            "adacof": ada_pred,
-            "baseline": base,
-            "maps": maps,
+        parts = {
+            "phase": crop(phase_pred),
+            "adacof": crop(ada_pred),
+            "baseline": crop(base),
         }
+        if uncertainty_maps:
+            parts["maps"] = crop(maps)
+        return final, parts
     return final
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "dilation", "height", "compute_dtype"),
+    static_argnames=(
+        "kernel_size",
+        "dilation",
+        "height",
+        "compute_dtype",
+        "variant",
+        "uncertainty_maps",
+    ),
 )
 def fusion_interpolate_jit(
     weights,
@@ -366,6 +409,8 @@ def fusion_interpolate_jit(
     height=None,
     filters=None,
     compute_dtype=None,
+    variant=0,
+    uncertainty_maps=3,
 ):
     return fusion_interpolate(
         weights,
@@ -376,6 +421,8 @@ def fusion_interpolate_jit(
         height,
         filters=filters,
         compute_dtype=compute_dtype,
+        variant=variant,
+        uncertainty_maps=uncertainty_maps,
     )
 
 

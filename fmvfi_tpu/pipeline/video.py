@@ -67,11 +67,15 @@ def write_frame_dir(path: str, frames: Sequence[np.ndarray]) -> None:
         cv2.imwrite(os.path.join(path, f"{i:05d}.png"), bgr)
 
 
-def _interp_fn(weights, h: int, w: int, method: str):
+def _interp_fn(weights, h: int, w: int, method: str,
+               variant: int = 0, uncertainty_maps: int = 3):
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
     if method == "fusion":
         jfn = jax.jit(
-            lambda wts, flt, a, b: fusion_interpolate(wts, a, b, filters=flt)
+            lambda wts, flt, a, b: fusion_interpolate(
+                wts, a, b, filters=flt,
+                variant=variant, uncertainty_maps=uncertainty_maps,
+            )
         )
         return lambda a, b: jfn(weights, filters, a, b)
     if method == "phase":
@@ -95,14 +99,15 @@ def _interp_fn(weights, h: int, w: int, method: str):
 
 
 def double_frame_rate(
-    frames: np.ndarray, weights: FusionWeights, method: str = "fusion"
+    frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
+    variant: int = 0, uncertainty_maps: int = 3,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
 
     Device compute for pair i+1 is dispatched before pair i's result is
     fetched (JAX async dispatch), overlapping transfer with compute."""
     n, h, w, _ = frames.shape
-    fn = _interp_fn(weights, h, w, method)
+    fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
     pending = None  # (original frame to emit first, device result)
     for i in range(n - 1):
         a = jnp.asarray(frames[i][None])

@@ -77,6 +77,74 @@ def test_fusion_pipeline_runs_and_is_sane(triplet):
 
 
 @needs_ckpts
+def test_fusion_variant_and_nomaps_modes(triplet):
+    """The reference publishes three FusionNet checkpoints (fusion_net.pt,
+    fusion_net_phase.pt = variant 1 residual-on-phase, fusion_net.py:69-77;
+    fusion_net_nouncertainty.pt = uncertainty_maps 0, fusion_net/train.py:79).
+    Both alternate modes must load and run end to end."""
+    f1, mid, f2 = triplet
+    adacof = AdaCoFNet(kernel_size=5, dilation=1)
+    ada_vars = adacof.init(jax.random.key(0), f1, f2)
+    phase_vars = phase_net_from_torch(PHASE_CKPT)
+
+    base_dir = os.path.dirname(FUSION_CKPT)
+    for name, variant, maps in [
+        ("fusion_net_phase.pt", 1, 3),
+        ("fusion_net_nouncertainty.pt", 0, 0),
+    ]:
+        weights = FusionWeights(
+            phase_net=phase_vars,
+            adacof=ada_vars,
+            fusion_net=fusion_net_from_torch(os.path.join(base_dir, name)),
+        )
+        out, parts = fusion_interpolate(
+            weights, f1, f2, return_parts=True,
+            variant=variant, uncertainty_maps=maps,
+        )
+        o = np.asarray(out)
+        assert o.shape == f1.shape
+        assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
+        if maps == 0:
+            assert "maps" not in parts
+        else:
+            assert parts["maps"].shape[-1] == maps
+    # variant 1 with the phase ckpt must differ from the default-mode output
+    # (different residual base), sanity that the knob actually reaches the net
+    w_def = FusionWeights(
+        phase_net=phase_vars, adacof=ada_vars,
+        fusion_net=fusion_net_from_torch(FUSION_CKPT),
+    )
+    out_def = fusion_interpolate(w_def, f1, f2)
+    w_ph = FusionWeights(
+        phase_net=phase_vars, adacof=ada_vars,
+        fusion_net=fusion_net_from_torch(
+            os.path.join(base_dir, "fusion_net_phase.pt")
+        ),
+    )
+    out_ph = fusion_interpolate(w_ph, f1, f2, variant=1)
+    assert float(jnp.abs(out_def - out_ph).max()) > 1e-3
+
+
+@needs_ckpts
+def test_fusion_arbitrary_resolution():
+    """Off-/8-grid inputs must pad-and-crop, not assert (the reference dodges
+    this by center-cropping, interpolate_twoframe.py:109-113)."""
+    f1, mid, f2 = translation_triplet(94, 150, dx=2.0, dy=0.5, seed=5)
+    f1, f2 = jnp.asarray(f1)[None], jnp.asarray(f2)[None]
+    adacof = AdaCoFNet(kernel_size=5, dilation=1)
+    weights = FusionWeights(
+        phase_net=phase_net_from_torch(PHASE_CKPT),
+        adacof=adacof.init(jax.random.key(0), f1, f2),
+        fusion_net=fusion_net_from_torch(FUSION_CKPT),
+    )
+    out, parts = fusion_interpolate(weights, f1, f2, return_parts=True)
+    assert out.shape == (1, 94, 150, 3)
+    assert parts["phase"].shape == (1, 94, 150, 3)
+    assert parts["maps"].shape == (1, 94, 150, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_ckpts
 def test_spectral_baseline(triplet):
     f1, mid, f2 = triplet
     out = spectral_baseline(f1, f2)
