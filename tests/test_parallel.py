@@ -207,3 +207,55 @@ def test_2d_phase_interpolate_matches_single_device():
         jax.device_put(pv, rep), jax.device_put(f1, sh), jax.device_put(f2, sh)
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def test_multiprocess_dp_matches_single():
+    """VERIFIED multi-process capability (not just API): launch 2 REAL
+    processes, each with one CPU device, joined via
+    jax.distributed.initialize through parallel.distributed.initialize;
+    each loads only its local_batch_slice, assembles the global batch with
+    global_batch_array, and runs one data-parallel AdaCoF step.  Both ranks'
+    loss and parameter checksum must agree with the single-process step on
+    the same global batch.  (The reference has no distributed anything —
+    SURVEY §2.7.)"""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    port = 19731 + (os.getpid() % 500)
+    coord = f"localhost:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(r)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for r in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    results = {}
+    for r, out in enumerate(outs):
+        assert procs[r].returncode == 0, f"rank {r} failed:\n{out}"
+        m = re.search(r"RESULT rank=(\d) loss=([\d.]+) ck=([\d.]+)", out)
+        assert m, f"rank {r} printed no RESULT:\n{out}"
+        results[r] = (float(m.group(2)), float(m.group(3)))
+    assert results[0] == results[1], results
+
+    # single-process oracle: same deterministic data/key, full global batch
+    rng = np.random.default_rng(0)
+    full = rng.uniform(0, 1, (3, 8, 32, 32, 3)).astype(np.float32)
+    batch = tuple(jnp.asarray(full[i]) for i in range(3))
+    state0, step = make_adacof_trainer(jax.random.key(1), 32, 32, kernel_size=3)
+    state, metrics = jax.jit(step)(state0, batch)
+    ck = float(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(state.params))
+    )
+    np.testing.assert_allclose(results[0][0], float(metrics["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(results[0][1], ck, rtol=2e-5)
