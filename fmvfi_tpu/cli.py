@@ -213,6 +213,11 @@ def cmd_evaluate(argv):
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--max_num", type=int, default=10)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--vgg_checkpoint", default="",
+                   help="torchvision vgg16 state dict: adds the real "
+                        "VGG-feature LPIPS column (evaluate_image.py:21-28); "
+                        "without it the documented lpips_sub substitute is "
+                        "reported")
     _common(p)
     args = p.parse_args(argv)
 
@@ -224,6 +229,12 @@ def cmd_evaluate(argv):
         synthetic_sets,
     )
     from .eval.visualize import metric_bars
+
+    lpips_fn = None
+    if args.vgg_checkpoint:
+        from .eval.metrics import make_vgg_lpips
+
+        lpips_fn = make_vgg_lpips(args.vgg_checkpoint)
 
     adapters = {a + ":" for a in
                 ("middlebury", "middlebury_eval", "davis", "ucf101", "vimeo")}
@@ -246,6 +257,7 @@ def cmd_evaluate(argv):
             dim=args.dim,
             max_num=args.max_num,
             overwrite=args.overwrite,
+            lpips_fn=lpips_fn,
         )
         metric_bars(summary, out_path=f"{args.out_dir}/results.png")
 
@@ -256,6 +268,7 @@ def cmd_evaluate(argv):
             res = evaluate_triplets(
                 triplets, weights, method,
                 output_dir=f"{args.out_dir}/{name}_{method}",
+                lpips_fn=lpips_fn,
             )
             with open(f"{args.out_dir}/result_{name}_{method}.json", "w") as f:
                 json.dump(res, f, indent=2)

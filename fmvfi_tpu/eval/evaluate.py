@@ -46,8 +46,12 @@ def evaluate_frames(
     max_num: Optional[int] = None,
     return_preds: bool = False,
     batch_size: int = 4,
+    lpips_fn=None,
 ) -> Dict[str, np.ndarray]:
     """Score every (i, i+1, i+2) triplet.  Returns {metric: (n_triplets,)}.
+
+    `lpips_fn` (from metrics.make_vgg_lpips): adds the real VGG-feature
+    LPIPS column (the reference's piq metric, evaluate_image.py:21-28).
 
     Triplet pairs are STACKED and run through the jitted pipeline at
     batch > 1 (the reference loops one pair at a time and even reloads
@@ -73,6 +77,12 @@ def evaluate_frames(
         m = jmetrics(preds, tgt)
         for k in METRIC_NAMES:
             out[k].append(np.asarray(m[k]))
+        if lpips_fn is not None:
+            out.setdefault("lpips_vgg", []).append(
+                np.asarray(
+                    [float(lpips_fn(preds[j], tgt[j])) for j in range(preds.shape[0])]
+                )
+            )
         if return_preds:
             preds_all.append(
                 (np.asarray(preds) * 255.0).clip(0, 255).astype(np.uint8)
@@ -113,6 +123,7 @@ def evaluate_suite(
     max_num: Optional[int] = 10,
     overwrite: bool = False,
     visualize: bool = True,
+    lpips_fn=None,
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Run the full benchmark suite; caches per (set, method) to
     `<out_dir>/result_<set>_<method>.npz`.  Returns
@@ -134,14 +145,18 @@ def evaluate_suite(
             cache = os.path.join(out_dir, f"result_{name}_{method}.npz")
             if os.path.exists(cache) and not overwrite:
                 data = dict(np.load(cache))
-                if visualize and "preds" not in data:
+                if (visualize and "preds" not in data) or (
+                    lpips_fn is not None and "lpips_vgg" not in data
+                ):
                     data = evaluate_frames(
-                        frames, weights, method, dim, max_num, return_preds=True
+                        frames, weights, method, dim, max_num,
+                        return_preds=True, lpips_fn=lpips_fn,
                     )
                     np.savez(cache, **data)
             else:
                 data = evaluate_frames(
-                    frames, weights, method, dim, max_num, return_preds=visualize
+                    frames, weights, method, dim, max_num,
+                    return_preds=visualize, lpips_fn=lpips_fn,
                 )
                 np.savez(cache, **data)
             if "preds" in data:
@@ -180,6 +195,7 @@ def evaluate_triplets(
     weights,
     method: str = "fusion",
     output_dir: Optional[str] = None,
+    lpips_fn=None,
 ) -> Dict[str, Dict[str, float]]:
     """Score explicit {scene: (f1, gt, f2)} triplets at native resolution
     (the TestModule.Test contract: per-scene PSNR + 'average' row,
@@ -218,6 +234,10 @@ def evaluate_triplets(
             if gt is not None:
                 m = jm(pred, jnp.asarray(gt))
                 results[name] = {k: float(v) for k, v in m.items()}
+                if lpips_fn is not None:
+                    results[name]["lpips_vgg"] = float(
+                        lpips_fn(pred, jnp.asarray(gt))
+                    )
     if results:
         results["average"] = {
             k: float(np.mean([r[k] for r in results.values()]))

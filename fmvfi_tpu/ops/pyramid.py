@@ -183,7 +183,15 @@ def make_filters(
     if nlevels < 1:
         raise ValueError(f"height must be >= 3, got {height}")
     log_rad, angle = _prepare_grid(h, w)
-    pos = -0.5
+    # Transition START position.  The canonical rcosFn(width=1, position=-0.5)
+    # of matlabPyrTools (inherited by the unvendored steerable package) puts
+    # the half-power point AT -0.5, i.e. the transition spans log_rad
+    # [-1, 0] (pi/2 .. pi) — so the start is -1.0.  (A previous revision used
+    # -0.5 here, leaving the whole bank a half-octave high vs. the package
+    # the published phase_net.pt was trained against; caught by the
+    # tests/test_pyramid_oracle.py transcription of the original table-lookup
+    # construction.)
+    pos = -1.0
     hi0 = _hi_mask(log_rad, pos)
     lo0 = _lo_mask(log_rad, pos)
 

@@ -95,6 +95,99 @@ class SyntheticTriplets:
         return self._items[index]
 
 
+class MixedSynthStream:
+    """Large continuously-jittered mixed-regime synthetic pool.
+
+    Fixes the failure mode of the round-2 demo diet (SyntheticTriplets
+    n=64 with DISCRETE displacement steps): the trained AdaCoF interpolated
+    its training displacements well but collapsed ~12 dB at intermediate
+    ones (tools/sweep_displacement.py).  Here every scene draws its regime
+    parameters from CONTINUOUS ranges covering the eval suite
+    (eval/synth.benchmark_sets: translation 4 px/f, large motion 24 px/f,
+    rotation 1.5 deg/f, zoom 1.02/f, occlusion 6/-2, brightness 2 px @
+    0.93 gain) with off-axis motion directions, and the pool is large
+    enough (default 768 scenes) that crops/flips make memorization
+    unprofitable.  Frames are stored u8 (the native C++ augmentation fast
+    path applies), generated on a thread pool."""
+
+    def __init__(
+        self,
+        n: int = 768,
+        h: int = 288,
+        w: int = 448,
+        seed0: int = 1000,
+        workers: int = 8,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._items = [None] * n
+
+        def gen(i):
+            from ..eval import synth
+
+            rng = np.random.default_rng(seed0 + i)
+            k = i % 6
+            angle = rng.uniform(0, 2 * np.pi)
+            if k == 0:  # translation, step in [0.25, 8] px/frame, any direction
+                step = rng.uniform(0.25, 8.0)
+                f = synth.translation_triplet(
+                    h, w,
+                    dx=2 * step * np.cos(angle),
+                    dy=2 * step * np.sin(angle),
+                    seed=seed0 + i,
+                )
+                v = np.stack(f)
+            elif k == 1:  # large motion, 8..28 px/frame (mostly horizontal:
+                # the triplet margin grows with |d|, keep dy modest)
+                step = rng.uniform(8.0, 28.0)
+                f = synth.translation_triplet(
+                    h, w,
+                    dx=2 * step * np.cos(angle),
+                    dy=2 * rng.uniform(-4, 4),
+                    seed=seed0 + i,
+                )
+                v = np.stack(f)
+            elif k == 2:
+                v = synth.rotation_video(
+                    3, h, w, deg_per_frame=rng.uniform(0.25, 2.5), seed=seed0 + i
+                )
+            elif k == 3:
+                v = synth.zoom_video(
+                    3, h, w,
+                    scale_per_frame=rng.uniform(1.003, 1.028),
+                    seed=seed0 + i,
+                )
+            elif k == 4:
+                v = synth.occlusion_video(
+                    3, h, w,
+                    fg_step=rng.uniform(1.0, 8.0) * (1 if rng.random() < 0.5 else -1),
+                    bg_step=rng.uniform(-4.0, 4.0),
+                    seed=seed0 + i,
+                )
+            else:
+                v = synth.brightness_video(
+                    3, h, w,
+                    step=rng.uniform(0.5, 4.0),
+                    gain_per_frame=rng.uniform(0.88, 0.97),
+                    seed=seed0 + i,
+                )
+            self._items[i] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(gen, range(n)))
+
+    def __len__(self):
+        return len(self._items)
+
+    def load_u8(self, index: int) -> np.ndarray:
+        return self._items[index]
+
+    def load(self, index: int):
+        return tuple(
+            f.astype(np.float32) / 255.0 for f in self._items[index]
+        )
+
+
 def augment_triplet(
     frames: Sequence[np.ndarray],
     rng: np.random.Generator,

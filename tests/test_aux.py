@@ -195,3 +195,46 @@ def test_vgg_lpips_with_synthetic_checkpoint(tmp_path):
 
     m = all_metrics(a, b, lpips_fn=lpips)
     assert "lpips_vgg" in m and np.isfinite(float(m["lpips_vgg"]))
+
+
+def test_lpips_flows_through_eval_harness(tmp_path):
+    """--vgg_checkpoint wiring: evaluate_frames must add the lpips_vgg column
+    when an lpips_fn is supplied (the reference's piq.LPIPS column)."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fmvfi_tpu.eval.evaluate import evaluate_frames
+    from fmvfi_tpu.eval.metrics import make_vgg_lpips
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights
+
+    # tiny synthetic vgg checkpoint (see test_vgg_lpips_with_synthetic_checkpoint)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    sd, idx, cin = {}, 0, 3
+    g = np.random.default_rng(1)
+    for v in cfg:
+        if v == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            (g.normal(size=(v, cin, 3, 3)) * 0.05).astype(np.float32)
+        )
+        sd[f"features.{idx}.bias"] = torch.zeros(v)
+        cin, idx = v, idx + 2
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+    lpips = make_vgg_lpips(path)
+
+    z = jnp.zeros((1, 64, 64, 3))
+    ada = AdaCoFNet(kernel_size=5).init(jax.random.key(0), z, z)
+    weights = FusionWeights(phase_net=None, adacof=ada, fusion_net=None)
+    frames = g.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    res = evaluate_frames(
+        frames, weights, method="adacof", dim=64, lpips_fn=lpips
+    )
+    assert "lpips_vgg" in res and res["lpips_vgg"].shape == (2,)
+    assert np.isfinite(res["lpips_vgg"]).all()

@@ -1,0 +1,198 @@
+"""Train the bundled demo stack until the fused output dominates both
+components (VERDICT r2 next-step #1).
+
+Stage A: AdaCoF with the published config (Charb + 0.01 g_Spatial +
+         0.005 g_Occlusion, ADAMax lr 1e-3, staircase x0.5 decay —
+         reference src/adacof/train.py:31,39, utility.py:47-58) on the
+         continuously-jittered mixed-regime synthetic stream.
+Stage B: FusionNet (plain L1, Adam — fusion_net/trainer.py:254) against the
+         frozen published PhaseNet + the stage-A AdaCoF.
+
+Per-regime PSNR probes (256x256, held-out seeds) are logged every probe_every
+steps; final weights land in checkpoints/*.msgpack only when promoted by
+tools/eval_demo_stack.py.
+
+Run ON TPU (axon): env PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/train_demo_stack.py --stage a --steps 40000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--stage", choices=["a", "b"], required=True)
+parser.add_argument("--steps", type=int, default=40000)
+parser.add_argument("--batch", type=int, default=8)
+parser.add_argument("--crop", type=int, default=256)
+parser.add_argument("--pool", type=int, default=768)
+parser.add_argument("--lr", type=float, default=0.0, help="0 = stage default")
+parser.add_argument("--decay_steps", type=int, default=10000)
+parser.add_argument("--out", default="runs/demo_stack")
+parser.add_argument("--adacof_init", default="", help="stage a warm start / stage b frozen adacof (msgpack)")
+parser.add_argument("--probe_every", type=int, default=2000)
+parser.add_argument("--save_every", type=int, default=2000)
+parser.add_argument("--cpu", action="store_true")
+args = parser.parse_args()
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from fmvfi_tpu.eval import synth
+from fmvfi_tpu.train.data import MixedSynthStream, batch_iterator
+from fmvfi_tpu.train import trainer as T
+from fmvfi_tpu.utils.checkpoint import load_msgpack, save_msgpack
+from fmvfi_tpu.models.adacof import AdaCoFNet
+from fmvfi_tpu.utils.convert import load_adacof_weights, phase_net_from_torch
+
+os.makedirs(args.out, exist_ok=True)
+log_path = os.path.join(args.out, f"stage_{args.stage}_log.jsonl")
+log_f = open(log_path, "a")
+
+
+def log(rec):
+    rec["time"] = time.time()
+    log_f.write(json.dumps(rec) + "\n")
+    log_f.flush()
+
+
+def psnr(a, b):
+    return float(-10 * np.log10(max(np.mean((np.asarray(a) - np.asarray(b)) ** 2), 1e-12)))
+
+
+# ---- held-out probes: one triplet per regime, NOT in the training stream
+def probe_triplets(s=256):
+    out = {}
+    f = synth.translation_triplet(s, s, dx=8.0, dy=2.0, seed=9001)
+    out["translation4"] = f
+    f = synth.translation_triplet(s, s, dx=4.0, dy=0.0, seed=9002)
+    out["translation2"] = f
+    v = synth.large_motion_video(3, s, s, step=24.0, seed=9003)
+    out["large24"] = (v[0], v[1], v[2])
+    v = synth.rotation_video(3, s, s, deg_per_frame=1.5, seed=9004)
+    out["rot1.5"] = (v[0], v[1], v[2])
+    v = synth.zoom_video(3, s, s, scale_per_frame=1.02, seed=9005)
+    out["zoom1.02"] = (v[0], v[1], v[2])
+    v = synth.occlusion_video(3, s, s, fg_step=6.0, bg_step=-2.0, seed=9006)
+    out["occl"] = (v[0], v[1], v[2])
+    v = synth.brightness_video(3, s, s, step=2.0, seed=9007)
+    out["bright"] = (v[0], v[1], v[2])
+    v = synth.translation_video(3, s, s, step=1.0, seed=9008)
+    out["step1"] = (v[0], v[1], v[2])
+    return out
+
+
+PROBES = probe_triplets()
+
+print(f"[{args.stage}] generating {args.pool}-scene mixed stream...", flush=True)
+t0 = time.time()
+cache = os.path.join(args.out, f"pool_{args.pool}.npy")
+if os.path.exists(cache):
+    ds = MixedSynthStream.__new__(MixedSynthStream)
+    ds._items = list(np.load(cache))
+else:
+    ds = MixedSynthStream(n=args.pool, seed0=1000)
+    np.save(cache, np.stack(ds._items))
+print(f"pool ready in {time.time()-t0:.1f}s", flush=True)
+
+rng = jax.random.key(0)
+
+if args.stage == "a":
+    state, step = T.make_adacof_trainer(
+        rng, args.crop, args.crop, kernel_size=5, dilation=1,
+        lr=args.lr or 1e-3, lr_decay_steps=args.decay_steps,
+    )
+    if args.adacof_init:
+        init = load_adacof_weights(args.adacof_init)
+        state = state._replace(params=init["params"])
+
+    jstep = jax.jit(step, donate_argnums=0)
+
+    model = AdaCoFNet(kernel_size=5, dilation=1)
+    japply = jax.jit(
+        lambda p, a, b: model.apply(p, a, b).blended
+    )
+
+    def run_probe(st):
+        vals = {}
+        for name, (f1, mid, f2) in PROBES.items():
+            pred = japply(
+                {"params": st.params}, jnp.asarray(f1)[None], jnp.asarray(f2)[None]
+            )
+            vals[name] = round(psnr(pred[0], mid), 2)
+        return vals
+
+    def save(st, tag):
+        save_msgpack(
+            os.path.join(args.out, f"adacof_{tag}.msgpack"),
+            {"params": jax.device_get(st.params)},
+        )
+
+else:
+    phase_vars = phase_net_from_torch("/root/reference/src/phase_net/phase_net.pt")
+    ada_path = args.adacof_init or os.path.join(args.out, "adacof_latest.msgpack")
+    adacof_vars = load_adacof_weights(ada_path)
+    print(f"frozen adacof: {ada_path}", flush=True)
+    state, step = T.make_fusion_trainer(
+        rng, args.crop, args.crop, phase_vars, adacof_vars,
+        kernel_size=5, dilation=1, lr=args.lr or 1e-4,
+    )
+    jstep = jax.jit(step, donate_argnums=0)
+
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
+
+    jfusion = jax.jit(
+        lambda fp, a, b: fusion_interpolate(
+            FusionWeights(phase_vars, adacof_vars, {"params": fp}), a, b
+        )
+    )
+
+    def run_probe(st):
+        vals = {}
+        for name, (f1, mid, f2) in PROBES.items():
+            pred = jfusion(st.params, jnp.asarray(f1)[None], jnp.asarray(f2)[None])
+            vals[name] = round(psnr(pred[0], mid), 2)
+        return vals
+
+    def save(st, tag):
+        save_msgpack(
+            os.path.join(args.out, f"fusion_{tag}.msgpack"),
+            {"params": jax.device_get(st.params)},
+        )
+
+
+batches = batch_iterator(ds, args.batch, crop=args.crop, seed=7)
+t_start = time.time()
+losses = []
+for i, batch in enumerate(batches):
+    if i >= args.steps:
+        break
+    batch = tuple(jnp.asarray(x) for x in batch)
+    state, metrics = jstep(state, batch)
+    losses.append(metrics["loss"])
+    if (i + 1) % 100 == 0:
+        lv = float(jnp.mean(jnp.stack([jnp.asarray(x) for x in losses[-100:]])))
+        rate = (i + 1) / (time.time() - t_start)
+        log({"step": i + 1, "loss": lv, "steps_per_s": round(rate, 3)})
+        print(f"step {i+1} loss {lv:.5f} ({rate:.2f} it/s)", flush=True)
+    if (i + 1) % args.probe_every == 0:
+        vals = run_probe(state)
+        log({"step": i + 1, "probe": vals})
+        print(f"probe @{i+1}: {vals}", flush=True)
+    if (i + 1) % args.save_every == 0:
+        save(state, "latest")
+
+save(state, "latest")
+save(state, "final")
+vals = run_probe(state)
+log({"step": args.steps, "probe": vals, "final": True})
+print(f"FINAL probe: {vals}", flush=True)
