@@ -73,6 +73,14 @@ def _phase_net_predict(
     """Shared PhaseNet sub-graph: a packed 2-frame channel batch
     (2*B*3, H, W) -> predicted single-frame decomposition (B*3 leading)."""
     if spatial_mesh is not None:
+        # Pin the packed frame stack to batch-only sharding BEFORE it meets
+        # the shard_mapped FFT section: without the constraint SPMD
+        # propagates an all-device sharding of the H axis onto the
+        # frame-concat and pays an involuntary full rematerialization
+        # converting it (the concatenate.307 warning in r2's dryrun); with
+        # it, the (data x spatial) -> (data x replicated) change is a plain
+        # spatial-group all-gather on the inputs.
+        chan_batch = _wsc(chan_batch, spatial_mesh, batch_axis)
         vals = _shmap_batch(
             lambda flt, x: decompose(x, flt), spatial_mesh, batch_axis, 1
         )(filters, chan_batch)

@@ -239,7 +239,9 @@ def test_multiprocess_dp_matches_single():
         )
         for r in (0, 1)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    # generous timeout: two cold JAX imports + a compile each, and the suite
+    # may be sharing the host with other compiles
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     results = {}
     for r, out in enumerate(outs):
         assert procs[r].returncode == 0, f"rank {r} failed:\n{out}"
