@@ -213,6 +213,7 @@ def make_adacof_trainer(
     lr_decay_steps: Optional[int] = None,
     lr_decay_rate: float = 0.5,
     vgg_checkpoint: str = "",
+    grad_clip: float = 1.0,
 ):
     """AdaCoF training (config of the published checkpoints: Vimeo90k,
     ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion).
@@ -220,6 +221,12 @@ def make_adacof_trainer(
     - `lr_decay_steps`: step-decay schedule x`lr_decay_rate` every N steps,
       reproducing make_scheduler (adacof/utility.py:47-58, StepLR gamma=0.5
       every 20 epochs — pass epochs_to_steps(20) here).
+    - `grad_clip` (> 0): global-norm gradient clipping + skip-if-nonfinite
+      (optax.apply_if_finite).  Long synthetic-diet runs hit a rare batch
+      whose gradient is inf, which permanently poisons the optimizer state
+      (observed at step ~12.4k in the round-3 demo run); the reference never
+      trained long enough on such data to need this.  0 disables (exact
+      reference optimizer).
     - VGG term (losses/__init__.py:22-24): perceptual conv4_3 MSE, gated on a
       user-supplied torchvision vgg16 checkpoint (no network egress).
     - GAN-family terms (losses/__init__.py:25-30): the Adversarial state
@@ -240,6 +247,11 @@ def make_adacof_trainer(
     tx = {"adam": optax.adam, "adamax": optax.adamax, "sgd": optax.sgd}[optimizer](
         schedule
     )
+    if grad_clip:
+        tx = optax.apply_if_finite(
+            optax.chain(optax.clip_by_global_norm(grad_clip), tx),
+            max_consecutive_errors=100,
+        )
     dummy = jnp.zeros((1, h, w, 3))
     variables = model.init(rng, dummy, dummy)
 
@@ -326,6 +338,12 @@ def make_fusion_trainer(
         optax.adamw(lr, weight_decay=weight_decay)
         if weight_decay
         else optax.adam(lr)
+    )
+    # same divergence protection as make_adacof_trainer (rare inf-gradient
+    # batches on long synthetic-diet runs poison the optimizer state)
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), tx),
+        max_consecutive_errors=100,
     )
     state = _init_state(fvars["params"], None, tx)
     frozen_phase = jax.lax.stop_gradient(phase_vars)

@@ -31,7 +31,10 @@ def test_discriminators_shapes():
     assert td.apply(v, z, z, z).shape == (2, 1)
 
 
-@pytest.mark.parametrize("gan_type", ["GAN", "WGAN", "WGAN_GP", "FI_GAN"])
+@pytest.mark.parametrize(
+    "gan_type",
+    [pytest.param("GAN", marks=pytest.mark.slow), "WGAN", "WGAN_GP", "FI_GAN"],
+)
 def test_adversarial_step(gan_type):
     from fmvfi_tpu.train.adversarial import Adversarial
 
@@ -197,6 +200,7 @@ def test_vgg_lpips_with_synthetic_checkpoint(tmp_path):
     assert "lpips_vgg" in m and np.isfinite(float(m["lpips_vgg"]))
 
 
+@pytest.mark.slow
 def test_lpips_flows_through_eval_harness(tmp_path):
     """--vgg_checkpoint wiring: evaluate_frames must add the lpips_vgg column
     when an lpips_fn is supplied (the reference's piq.LPIPS column)."""

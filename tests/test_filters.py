@@ -30,6 +30,7 @@ def test_median_matches_scipy(img):
     assert err < (img.max() - img.min()) / 256, err
 
 
+@pytest.mark.slow
 def test_median_fast_close_to_exact(img):
     fast = np.asarray(median_filter_fast(jnp.asarray(img), size=30, downsample=2))
     ref = sp_median(img, size=30)
@@ -37,6 +38,7 @@ def test_median_fast_close_to_exact(img):
     assert np.abs(fast - ref).mean() < 0.02 * (img.max() - img.min())
 
 
+@pytest.mark.slow
 def test_median_batched(img):
     flipped = img[::-1].copy()
     batch = jnp.stack([jnp.asarray(img), jnp.asarray(flipped)])

@@ -55,6 +55,7 @@ def test_golden_fusion_and_adacof_128(weights):
 
 
 @needs_ckpts
+@pytest.mark.slow
 def test_golden_phase_256(weights):
     from fmvfi_tpu.eval.synth import translation_triplet
     from fmvfi_tpu.pipeline.interpolate import phase_interpolate

@@ -16,6 +16,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """The sharded step must produce the same params as the local step."""
     mesh = make_mesh()
@@ -93,6 +94,7 @@ def test_spatial_sharded_adacof_matches_unsharded():
     "(LayoutUtil::IsMonotonicWithDim0Major RET_CHECK); TPU-only path",
     strict=False,
 )
+@pytest.mark.slow
 def test_spatial_sharded_phase_interpolate():
     """The FFT-heavy phase pipeline also partitions correctly."""
     from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
@@ -121,6 +123,7 @@ def test_spatial_sharded_phase_interpolate():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_2d_data_spatial_fusion_matches_single_device():
     """Full fusion inference on a 2-D (data=4 x spatial=2) mesh: conv
     subgraphs H-sharded (XLA halo exchange), FFT sections shard_mapped over
@@ -209,6 +212,7 @@ def test_2d_phase_interpolate_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_multiprocess_dp_matches_single():
     """VERIFIED multi-process capability (not just API): launch 2 REAL
     processes, each with one CPU device, joined via

@@ -77,6 +77,7 @@ def test_fusion_pipeline_runs_and_is_sane(triplet):
 
 
 @needs_ckpts
+@pytest.mark.slow
 def test_fusion_variant_and_nomaps_modes(triplet):
     """The reference publishes three FusionNet checkpoints (fusion_net.pt,
     fusion_net_phase.pt = variant 1 residual-on-phase, fusion_net.py:69-77;
@@ -206,6 +207,7 @@ def test_double_frame_rate_and_suite(tmp_path):
     assert s1["tiny"]["adacof"]["psnr"] == s2["tiny"]["adacof"]["psnr"]
 
 
+@pytest.mark.slow
 def test_baseline_method(triplet):
     """--methods baseline: spectral-split composite (evaluate.py's 4th
     output) runs end-to-end and stays in range."""

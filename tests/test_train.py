@@ -112,6 +112,7 @@ def test_fusion_train_step_runs():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():
     """Fusion phase-training variants (num_img 3/4) + hierarchical-m step."""
     from fmvfi_tpu.models.adacof import AdaCoFNet
@@ -142,6 +143,7 @@ def test_phase_fusion_mode_and_hierarchical():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_fit_image_probe(tmp_path):
     """Sample-image renders every N steps (train/trainer.py:140-142 parity)."""
     import os

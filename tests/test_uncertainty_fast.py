@@ -109,6 +109,7 @@ def test_decompose_coarse_matches_decompose():
         assert np.max(np.abs(dp[mask]), initial=0.0) < 1e-3
 
 
+@pytest.mark.slow
 def test_reconstruct_coarse_matches_reconstruct():
     h, w = 128, 96
     rng = np.random.default_rng(2)

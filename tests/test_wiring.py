@@ -37,6 +37,7 @@ def test_vgg_term_requires_checkpoint():
         )
 
 
+@pytest.mark.slow
 def test_gan_loss_trains():
     from fmvfi_tpu.train.trainer import make_adacof_trainer
 
@@ -81,6 +82,7 @@ def test_lr_step_decay_schedule():
     assert deltas[2] < deltas[0] * 0.75
 
 
+@pytest.mark.slow
 def test_high_level_trainer_smoke():
     from fmvfi_tpu.models.adacof import AdaCoFNet
     from fmvfi_tpu.train.trainer import make_phase_trainer
@@ -98,6 +100,7 @@ def test_high_level_trainer_smoke():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_hierarchical_m_schedule_in_fit(tmp_path):
     from fmvfi_tpu.train.loop import fit
     from fmvfi_tpu.train.trainer import make_phase_trainer

@@ -106,6 +106,45 @@ print(f"pool ready in {time.time()-t0:.1f}s", flush=True)
 
 rng = jax.random.key(0)
 
+def u8_batches(pool, batch, crop, seed):
+    """u8 crop/flip/time-reversal batches — normalization happens ON DEVICE
+    (u8 transfer is 1.7x faster per step over the axon tunnel than f32,
+    tools/diag_train_step.py)."""
+    rng = np.random.default_rng(seed)
+    n = len(pool)
+    while True:
+        f1s, mids, f2s = [], [], []
+        for _ in range(batch):
+            v = pool[int(rng.integers(0, n))]  # (3, H, W, 3) u8
+            H, W = v.shape[1:3]
+            y = int(rng.integers(0, H - crop + 1))
+            x = int(rng.integers(0, W - crop + 1))
+            tri = v[:, y : y + crop, x : x + crop]
+            if rng.random() < 0.5:
+                tri = tri[:, :, ::-1]
+            if rng.random() < 0.5:
+                tri = tri[:, ::-1]
+            if rng.random() < 0.5:
+                tri = tri[::-1]
+            f1s.append(tri[0])
+            mids.append(tri[1])
+            f2s.append(tri[2])
+        yield (
+            np.ascontiguousarray(np.stack(f1s)),
+            np.ascontiguousarray(np.stack(mids)),
+            np.ascontiguousarray(np.stack(f2s)),
+        )
+
+
+def wrap_u8(step):
+    return jax.jit(
+        lambda s, b: step(
+            s, tuple(x.astype(jnp.float32) / 255.0 for x in b)
+        ),
+        donate_argnums=0,
+    )
+
+
 if args.stage == "a":
     state, step = T.make_adacof_trainer(
         rng, args.crop, args.crop, kernel_size=5, dilation=1,
@@ -115,7 +154,7 @@ if args.stage == "a":
         init = load_adacof_weights(args.adacof_init)
         state = state._replace(params=init["params"])
 
-    jstep = jax.jit(step, donate_argnums=0)
+    jstep = wrap_u8(step)
 
     model = AdaCoFNet(kernel_size=5, dilation=1)
     japply = jax.jit(
@@ -146,7 +185,7 @@ else:
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
     )
-    jstep = jax.jit(step, donate_argnums=0)
+    jstep = wrap_u8(step)
 
     from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
 
@@ -170,7 +209,7 @@ else:
         )
 
 
-batches = batch_iterator(ds, args.batch, crop=args.crop, seed=7)
+batches = u8_batches(ds._items, args.batch, args.crop, seed=7)
 t_start = time.time()
 losses = []
 for i, batch in enumerate(batches):
