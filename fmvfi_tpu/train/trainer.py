@@ -250,7 +250,7 @@ def make_adacof_trainer(
     if grad_clip:
         tx = optax.apply_if_finite(
             optax.chain(optax.clip_by_global_norm(grad_clip), tx),
-            max_consecutive_errors=100,
+            max_consecutive_errors=100_000,
         )
     dummy = jnp.zeros((1, h, w, 3))
     variables = model.init(rng, dummy, dummy)
@@ -343,7 +343,7 @@ def make_fusion_trainer(
     # batches on long synthetic-diet runs poison the optimizer state)
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(1.0), tx),
-        max_consecutive_errors=100,
+        max_consecutive_errors=100_000,
     )
     state = _init_state(fvars["params"], None, tx)
     frozen_phase = jax.lax.stop_gradient(phase_vars)

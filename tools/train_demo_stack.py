@@ -37,6 +37,7 @@ parser.add_argument("--adacof_init", default="", help="stage a warm start / stag
 parser.add_argument("--probe_every", type=int, default=2000)
 parser.add_argument("--save_every", type=int, default=2000)
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--resume_state", default="", help="full TrainState msgpack (exact resume incl. optimizer)")
 args = parser.parse_args()
 
 import jax
@@ -209,9 +210,40 @@ else:
         )
 
 
+from flax import serialization
+
+state_path = os.path.join(args.out, f"state_{args.stage}_latest.msgpack")
+if args.resume_state:
+    with open(args.resume_state, "rb") as f:
+        state = serialization.from_bytes(state, f.read())
+    print(f"resumed full TrainState from {args.resume_state}", flush=True)
+
+
+def save_state(st, tag="latest"):
+    path = (state_path if tag == "latest"
+            else os.path.join(args.out, f"state_{args.stage}_{tag}.msgpack"))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(st)))
+    os.replace(tmp, path)
+
+
 batches = u8_batches(ds._items, args.batch, args.crop, seed=7)
 t_start = time.time()
 losses = []
+best_mean = -1.0
+# restarts must not clobber a better best-checkpoint from a previous attempt
+if os.path.exists(log_path):
+    with open(log_path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if "probe_mean" in r:
+                best_mean = max(best_mean, r["probe_mean"])
+nonfinite_windows = 0
+last_window_finite = True  # gate on checkpoint writes
 for i, batch in enumerate(batches):
     if i >= args.steps:
         break
@@ -223,14 +255,43 @@ for i, batch in enumerate(batches):
         rate = (i + 1) / (time.time() - t_start)
         log({"step": i + 1, "loss": lv, "steps_per_s": round(rate, 3)})
         print(f"step {i+1} loss {lv:.5f} ({rate:.2f} it/s)", flush=True)
+        last_window_finite = bool(np.isfinite(lv))
+        if not last_window_finite:
+            nonfinite_windows += 1
+            print("WARNING: non-finite loss window — updates are being "
+                  "skipped (apply_if_finite); params remain at the last "
+                  "finite point", flush=True)
+            # A healthy-params forward producing inf means the device state
+            # is corrupted (observed when a second axon client shares the
+            # chip).  Exit so a supervisor can restart from state_*_latest.
+            if nonfinite_windows >= 3:
+                log({"step": i + 1, "abort": "persistent non-finite loss"})
+                print("ABORT: persistent non-finite loss — device state "
+                      "suspect; restart from the latest state checkpoint",
+                      flush=True)
+                sys.exit(3)
+        else:
+            nonfinite_windows = 0
     if (i + 1) % args.probe_every == 0:
         vals = run_probe(state)
-        log({"step": i + 1, "probe": vals})
-        print(f"probe @{i+1}: {vals}", flush=True)
-    if (i + 1) % args.save_every == 0:
+        mean = float(np.mean(list(vals.values())))
+        log({"step": i + 1, "probe": vals, "probe_mean": round(mean, 3)})
+        print(f"probe @{i+1}: mean {mean:.2f} {vals}", flush=True)
+        if mean > best_mean and last_window_finite:
+            best_mean = mean
+            save(state, "best")
+            save_state(state, "best")
+            log({"step": i + 1, "best_mean": round(mean, 3)})
+    if (i + 1) % args.save_every == 0 and last_window_finite:
+        # NEVER checkpoint during a non-finite era: the r3 restart loop was
+        # caused by state_latest being saved after poisoning, making every
+        # supervised resume start from garbage.
         save(state, "latest")
+        save_state(state)
 
-save(state, "latest")
+if last_window_finite:
+    save(state, "latest")
+    save_state(state)
 save(state, "final")
 vals = run_probe(state)
 log({"step": args.steps, "probe": vals, "final": True})
