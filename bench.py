@@ -38,6 +38,13 @@ def main():
     ap.add_argument(
         "--pipeline", default="fusion", choices=["fusion", "phase", "adacof"]
     )
+    ap.add_argument(
+        "--no_stream", action="store_true",
+        help="fusion: per-pair pipeline instead of the streaming serving "
+        "loop (stream reuses the shared frame's decomposition and batches "
+        "pass-3 with the next main pass; identical math, pinned by "
+        "tests/test_pipeline.py::test_fusion_stream_matches_per_pair)",
+    )
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
                     help="compute dtype for the conv nets (warp/pyramid stay fp32)")
@@ -79,6 +86,38 @@ def main():
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
 
     cdt = jnp.bfloat16 if args.dtype == "bf16" else None
+    if args.pipeline == "fusion" and not args.no_stream:
+        from fmvfi_tpu.pipeline.interpolate import (
+            fusion_stream_init,
+            fusion_stream_step,
+        )
+
+        jstep = jax.jit(
+            lambda wts, flt, c, f: fusion_stream_step(
+                wts, c, f, filters=flt, compute_dtype=cdt
+            )
+        )
+        a = jnp.asarray(frames[0][None])
+        b = jnp.asarray(frames[1][None])
+        carry = jax.jit(lambda flt, f: fusion_stream_init(f, flt))(filters, a)
+        carry, out = jstep(weights, filters, carry, b)  # warmup/compile
+        _ = float(out[0, 0, 0, 0])
+
+        t0 = time.perf_counter()
+        x = out
+        for _ in range(args.frames):
+            carry, x = jstep(weights, filters, carry, x)
+        _ = float(x[0, 0, 0, 0])
+        dt = time.perf_counter() - t0
+        fps = args.frames / dt
+        result = {
+            "metric": f"{h}p_fusion_interpolated_frames_per_sec_per_chip",
+            "value": round(fps, 4),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / (TARGET_MULTIPLIER * ref_fps), 4),
+        }
+        print(json.dumps(result))
+        return
     if args.pipeline == "fusion":
         raw = jax.jit(
             lambda a, b: fusion_interpolate(

@@ -86,6 +86,13 @@ def _phase_net_predict(
         )(filters, chan_batch)
     else:
         vals = decompose(chan_batch, filters)
+    return _phase_net_from_vals(phase_vars, vals, compute_dtype=compute_dtype, m=m)
+
+
+def _phase_net_from_vals(phase_vars, vals: Decomp, compute_dtype=None, m=None):
+    """PhaseNet tail on an already-decomposed packed 2-frame batch (the
+    streaming path reuses the previous frame's decomposition, so decompose
+    and the net tail are separable)."""
     v1, v2 = dec_ops.split_frames(vals, 2)
     low, phases, amps = dec_ops.concat_for_net([v1, v2])
     lown, pn, an, norm = normalize_inputs(low, phases, amps)
@@ -437,6 +444,154 @@ def fusion_interpolate_jit(
 @jax.jit
 def phase_interpolate_jit(phase_vars, frame1, frame2, filters=None):
     return phase_interpolate(phase_vars, frame1, frame2, filters=filters)
+
+
+class FusionStreamCarry(NamedTuple):
+    """Device-resident state carried between `fusion_stream_step` calls.
+
+    `frame/lab/dec` describe the NEWEST frame (reused as frame-1 of the next
+    pair, so each frame is color-converted and pyramid-decomposed exactly
+    once per stream).  The remaining fields are the PENDING pair's tensors:
+    its baseline pass-3 and FusionNet blend are deferred one step so the
+    pass-3 U-Net batches with the next pair's main AdaCoF pass."""
+
+    frame: jnp.ndarray  # (B, H, W, 3) RGB
+    lab: jnp.ndarray  # (B, H, W, 3) Lab
+    dec: Decomp  # decomposition of the Lab channel batch (B*3 leading)
+    mids: jnp.ndarray  # (2B, H, W, 3) baseline passes 1+2 of the pending pair
+    ada_pred: jnp.ndarray  # (B, H, W, 3)
+    phase_pred: jnp.ndarray  # (B, H, W, 3)
+    other: jnp.ndarray  # (B, H, W, 6) lab1 || lab2 of the pending pair
+    maps: Optional[jnp.ndarray]  # (B, H, W, 3) or None (no-maps ablation)
+
+
+def fusion_stream_init(
+    frame0: jnp.ndarray, filters, uncertainty_maps: int = 3
+) -> FusionStreamCarry:
+    """Prime a streaming-fusion carry with the first frame of a video.
+
+    The first `fusion_stream_step` output finishes this dummy pending pair
+    and must be discarded by the caller."""
+    b, h, w, _ = frame0.shape
+    assert h % 8 == 0 and w % 8 == 0, "stream frames must be on the /8 grid"
+    lab0 = rgb_to_lab(frame0)
+    dec0 = decompose(_to_chan_batch(lab0), filters)
+    z = jnp.zeros_like(frame0)
+    return FusionStreamCarry(
+        frame=frame0,
+        lab=lab0,
+        dec=dec0,
+        mids=jnp.concatenate([z, z], axis=0),
+        ada_pred=z,
+        phase_pred=z,
+        other=jnp.zeros((b, h, w, 6), frame0.dtype),
+        maps=(jnp.zeros((b, h, w, 3), frame0.dtype) if uncertainty_maps else None),
+    )
+
+
+def fusion_stream_step(
+    weights: FusionWeights,
+    carry: FusionStreamCarry,
+    frame_next: jnp.ndarray,
+    kernel_size: int = 5,
+    dilation: int = 1,
+    filters=None,
+    compute_dtype=None,
+    variant: int = 0,
+    uncertainty_maps: int = 3,
+) -> Tuple[FusionStreamCarry, jnp.ndarray]:
+    """One step of streaming fusion over a video: consume the next frame,
+    emit the fused middle frame of the PREVIOUS pair (one-step latency).
+
+    Identical math to per-pair `fusion_interpolate`, restructured for a
+    frame stream (the serving shape of interpolate_video.py:84-114):
+
+    * the shared frame between consecutive pairs is color-converted and
+      pyramid-decomposed ONCE (carry.dec) — halves the decompose stage;
+    * the pending pair's baseline pass-3 U-Net runs BATCHED with the next
+      pair's main AdaCoF pass (both independent), so each step runs two
+      batch-2 AdaCoF units instead of batch-1 + batch-2 + batch-1.
+
+    Single-device serving path (no spatial_mesh; use fusion_interpolate for
+    sharded execution)."""
+    f2, lab2, dec2 = carry.frame, carry.lab, carry.dec
+    b, h, w, _ = f2.shape
+    assert frame_next.shape == f2.shape
+    if filters is None:
+        filters = make_filters(h, w, max_pyr_height(h, w))
+
+    lab3 = rgb_to_lab(frame_next)
+    dec3 = decompose(_to_chan_batch(lab3), filters)
+
+    # main AdaCoF of pair (f2, f3) batched with pass-3 of the pending pair
+    adacof = AdaCoFNet(
+        kernel_size=kernel_size,
+        dilation=dilation,
+        dtype=compute_dtype,
+        with_stats=uncertainty_maps != 0,
+    )
+    pm1, pm2 = jnp.split(carry.mids, 2, axis=0)
+    out2 = adacof.apply(
+        weights.adacof,
+        jnp.concatenate([f2, pm1], axis=0),
+        jnp.concatenate([frame_next, pm2], axis=0),
+    )
+    ada_pred, base_prev = jnp.split(out2.blended, 2, axis=0)
+    if uncertainty_maps:
+        flow_var_map = jnp.split(out2.uncertainty[..., 0], 2, axis=0)[0]
+
+    # PhaseNet: cached dec2 + fresh dec3
+    dec_pred = _phase_net_from_vals(
+        weights.phase_net,
+        dec_ops.concat_frames([dec2, dec3]),
+        compute_dtype=compute_dtype,
+    )
+    phase_pred = jnp.clip(
+        lab_to_rgb(_from_chan_batch(reconstruct(dec_pred, filters))), 0.0, 1.0
+    )
+
+    if uncertainty_maps:
+        ada_unc, phase_unc = fusion_uncertainty(ada_pred, phase_pred, filters)
+        maps = jnp.stack([ada_unc, phase_unc, flow_var_map], axis=-1)
+    else:
+        maps = None
+
+    # baseline passes 1+2 of the new pair (pass 3 deferred to the next step)
+    adacof_lite = AdaCoFNet(
+        kernel_size=kernel_size,
+        dilation=dilation,
+        dtype=compute_dtype,
+        with_stats=False,
+    )
+    mids = adacof_lite.apply(
+        weights.adacof,
+        jnp.concatenate([f2, phase_pred], axis=0),
+        jnp.concatenate([phase_pred, frame_next], axis=0),
+    ).blended
+
+    # finish the PENDING pair: FusionNet on its carried tensors + fresh base
+    fusion = FusionNet(dtype=compute_dtype, uncertainty_maps=uncertainty_maps)
+    fused_prev = fusion.apply(
+        weights.fusion_net,
+        base_prev,
+        carry.ada_pred,
+        carry.phase_pred,
+        carry.other,
+        carry.maps,
+        variant,
+    )
+
+    new_carry = FusionStreamCarry(
+        frame=frame_next,
+        lab=lab3,
+        dec=dec3,
+        mids=mids,
+        ada_pred=ada_pred,
+        phase_pred=phase_pred,
+        other=jnp.concatenate([lab2, lab3], axis=-1),
+        maps=maps,
+    )
+    return new_carry, fused_prev
 
 
 def baseline_interpolate(

@@ -100,13 +100,25 @@ def _interp_fn(weights, h: int, w: int, method: str,
 
 def double_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
-    variant: int = 0, uncertainty_maps: int = 3,
+    variant: int = 0, uncertainty_maps: int = 3, stream: bool = True,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
 
     Device compute for pair i+1 is dispatched before pair i's result is
-    fetched (JAX async dispatch), overlapping transfer with compute."""
+    fetched (JAX async dispatch), overlapping transfer with compute.
+
+    For the fusion method the default path is the STREAMING pipeline
+    (fusion_stream_step): the frame shared between consecutive pairs is
+    color-converted + pyramid-decomposed once, and the baseline pass-3
+    U-Net of pair i batches with the main AdaCoF pass of pair i+1 —
+    identical math (tests/test_pipeline.py pins stream == per-pair), fewer
+    device passes per frame.  `stream=False` forces the per-pair path."""
     n, h, w, _ = frames.shape
+    if method == "fusion" and stream:
+        yield from _double_frame_rate_stream(
+            frames, weights, variant, uncertainty_maps
+        )
+        return
     fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
     pending = None  # (original frame to emit first, device result)
     for i in range(n - 1):
@@ -121,6 +133,45 @@ def double_frame_rate(
     orig, dev = pending
     yield orig
     yield np.asarray(dev)[0]
+    yield frames[-1]
+
+
+def _double_frame_rate_stream(
+    frames: np.ndarray, weights: FusionWeights,
+    variant: int, uncertainty_maps: int,
+) -> Iterator[np.ndarray]:
+    """Streaming-fusion body of double_frame_rate (one-step latency: the
+    fused middle of pair i is emitted while pair i+1 computes)."""
+    from .interpolate import fusion_stream_init, fusion_stream_step
+
+    n, h, w, _ = frames.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    filters = jax.tree.map(
+        jnp.asarray, make_filters(h + ph, w + pw, max_pyr_height(h + ph, w + pw))
+    )
+    jstep = jax.jit(
+        lambda wts, flt, c, f: fusion_stream_step(
+            wts, c, f, filters=flt,
+            variant=variant, uncertainty_maps=uncertainty_maps,
+        )
+    )
+
+    def dev(i):
+        f = frames[i][None]
+        if ph or pw:
+            f = np.pad(f, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect")
+        return jnp.asarray(f)
+
+    jinit = jax.jit(lambda flt, f: fusion_stream_init(f, flt, uncertainty_maps))
+    carry = jinit(filters, dev(0))
+    carry, _discard = jstep(weights, filters, carry, dev(1))  # primes pair 0
+    for i in range(1, n):
+        # flush step: the pending pair's output only depends on carried
+        # tensors, so the final extra step can feed any frame
+        nxt = dev(i + 1) if i + 1 < n else dev(n - 1)
+        carry, fused = jstep(weights, filters, carry, nxt)
+        yield frames[i - 1]
+        yield np.asarray(fused)[0, :h, :w]
     yield frames[-1]
 
 

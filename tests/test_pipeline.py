@@ -153,6 +153,46 @@ def test_spectral_baseline(triplet):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@needs_ckpts
+def test_fusion_stream_matches_per_pair(triplet):
+    """Streaming fusion (cached decomposition + batched pass-3) is the same
+    math as per-pair fusion_interpolate — every interpolated frame of a
+    4-frame walk must match to float tolerance, in both map modes."""
+    from fmvfi_tpu.eval.synth import translation_video
+    from fmvfi_tpu.pipeline.video import double_frame_rate
+
+    hw = 64
+    frames = translation_video(4, hw, hw, step=2.0)
+    adacof = AdaCoFNet(kernel_size=5, dilation=1)
+    z = jnp.zeros((1, hw, hw, 3))
+    phase_vars = phase_net_from_torch(PHASE_CKPT)
+    ada_vars = adacof.init(jax.random.key(0), z, z)
+    fusion_by_maps = {
+        3: fusion_net_from_torch(FUSION_CKPT),
+        0: FusionNet(uncertainty_maps=0).init(
+            jax.random.key(1), z, z, z, jnp.zeros((1, hw, hw, 6)), None
+        ),
+    }
+    for maps in (3, 0):
+        weights = FusionWeights(
+            phase_net=phase_vars, adacof=ada_vars,
+            fusion_net=fusion_by_maps[maps],
+        )
+        streamed = list(
+            double_frame_rate(frames, weights, "fusion", uncertainty_maps=maps)
+        )
+        per_pair = list(
+            double_frame_rate(
+                frames, weights, "fusion", uncertainty_maps=maps, stream=False
+            )
+        )
+        assert len(streamed) == len(per_pair) == 2 * len(frames) - 1
+        for i, (s, p) in enumerate(zip(streamed, per_pair)):
+            np.testing.assert_allclose(
+                s, p, atol=2e-5, err_msg=f"maps={maps} frame {i}"
+            )
+
+
 def test_metrics_sanity():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
