@@ -327,8 +327,9 @@ class AdaCoFNet(nn.Module):
     """Full AdaCoF model: pads, estimates kernels, warps, blends.
 
     use_pallas: None = auto (Pallas warp kernel on TPU, XLA-gather elsewhere);
-    True/False forces.  The Pallas path clamps offsets to +-max_offset (31) —
-    see ops/adacof_pallas.py."""
+    True/False forces.  The Pallas path clamps offsets to +-max_offset (48,
+    beyond any motion in the training diet / eval suite) with the true clip
+    gradient (zero at saturation) — see ops/adacof_pallas.py."""
 
     kernel_size: int = 5
     dilation: int = 1

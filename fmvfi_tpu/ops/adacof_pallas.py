@@ -16,14 +16,21 @@ the hardware's actual gather capability:
 
 Semantics match the reference CUDA kernel (cupy_module/adacof.py:6-65):
 truncation-toward-zero corners, fractional weights from the *unclamped*
-fraction, clamp-to-edge sampling — EXCEPT that integer offsets are clamped to
-[-R, R] (`max_offset`, default 31).  Trained AdaCoF offset fields stay well
-inside that (they are smoothness-regularized); the jnp path remains the exact
-reference for parity checks and arbitrary offsets.
+fraction, clamp-to-edge sampling — EXCEPT that offsets are clamped to
+[-R, R] (`max_offset`, default 48; the lane-gather window bounds R at
+(126 - (F-1)*dilation)/2, asserted).  48 px covers every motion magnitude in
+the training diet and eval suite (max 28 px/frame); the jnp path remains the
+exact reference for parity checks and arbitrary offsets.
 
-Backward: custom_vjp whose residual-free backward re-runs the jnp autodiff
-path (training uses the exact gradients; this kernel is the inference/serving
-fast path).
+Backward: fused Pallas kernel computing dW/dalpha/dbeta in one pass, with the
+TRUE gradient of the clamped forward — dalpha/dbeta are masked to zero where
+|offset| >= max_offset.  An earlier revision returned the unclamped-point
+gradient at saturation; with a diet demanding ~30 px motion that made
+saturation a runaway instead of an absorbing state (the optimizer kept
+pushing offsets outward through a forward that no longer responded) and
+deterministically blew up training within ~80 steps once any offset crossed
+the clamp.  The non-TPU fallback differentiates the CLIPPED jnp warp so
+gradients are identical on every backend.
 """
 
 from __future__ import annotations
@@ -192,7 +199,7 @@ def adacof_warp_pallas(
     offset_i: jnp.ndarray,
     offset_j: jnp.ndarray,
     dilation: int = 1,
-    max_offset: int = 31,
+    max_offset: int = 48,
     tile_h: int = 8,
     interpret: bool = False,
     tap_major: bool = False,
@@ -208,6 +215,10 @@ def adacof_warp_pallas(
         _, H, W, F2 = weight.shape
     F = int(math.isqrt(F2))
     R = max_offset
+    assert 2 * R + 2 + (F - 1) * dilation <= 128, (
+        f"max_offset {R} exceeds the 2-tile lane-gather window for "
+        f"F={F}, dilation={dilation} (bound: {(126 - (F - 1) * dilation) // 2})"
+    )
     assert H_in - ((F - 1) * dilation + 1) == H - 1
 
     # pad to grid-friendly sizes
@@ -444,7 +455,7 @@ def adacof_warp_pallas_bwd(
     offset_j: jnp.ndarray,
     g: jnp.ndarray,
     dilation: int = 1,
-    max_offset: int = 31,
+    max_offset: int = 48,
     tile_h: int = 8,
     interpret: bool = False,
     tap_major: bool = False,
@@ -463,6 +474,10 @@ def adacof_warp_pallas_bwd(
         _, H, W, F2 = weight.shape
     F = int(math.isqrt(F2))
     R = max_offset
+    assert 2 * R + 2 + (F - 1) * dilation <= 128, (
+        f"max_offset {R} exceeds the 2-tile lane-gather window for "
+        f"F={F}, dilation={dilation} (bound: {(126 - (F - 1) * dilation) // 2})"
+    )
 
     Ht = _round_up(H, tile_h)
     Wt = _round_up(W, 128)
@@ -507,9 +522,21 @@ def adacof_warp_pallas_bwd(
 # ------------------------------------------------------------------ vjp
 
 
+def _saturation_mask(da, db, offset_i, offset_j, max_offset):
+    """True gradient of the clamped forward: zero dalpha/dbeta where the
+    offset is at/beyond the clamp.  Without this, saturation is a runaway
+    (the optimizer keeps pushing offsets outward through a forward that no
+    longer responds) instead of an absorbing state."""
+    R = float(max_offset)
+    return (
+        da * (jnp.abs(offset_i) < R).astype(da.dtype),
+        db * (jnp.abs(offset_j) < R).astype(db.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=31):
-    """Pallas forward, exact-jnp backward (reference CUDA gradient math).
+def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=48):
+    """Pallas forward, fused-Pallas backward (reference CUDA gradient math).
 
     Gradient contract (identical on every backend):
       * d/dx is ZERO — the reference CUDA module allocates but never computes
@@ -517,10 +544,10 @@ def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=31):
         this framework warps either data frames or stop_gradient'ed frozen
         outputs.  Callers that need to differentiate through the warped image
         must use `adacof_warp_jnp` directly.
-      * dW/dα/dβ follow the UNCLIPPED reference semantics for
-        |offset| < max_offset; at saturation the TPU kernel returns the
-        gradient evaluated at the clamped offset (the forward clamps for DMA
-        bounds), which trained fields never reach.
+      * dW/dα/dβ are the TRUE gradients of the clamped forward: the reference
+        semantics for |offset| < max_offset, ZERO at saturation (the clip's
+        gradient).  The non-TPU fallback differentiates the clipped jnp warp,
+        which gives the same thing.
     """
     return adacof_warp_pallas(
         x, weight, offset_i, offset_j, dilation, max_offset
@@ -543,15 +570,19 @@ def _bwd(dilation, max_offset, res, g):
         dw, da, db = adacof_warp_pallas_bwd(
             x, weight, offset_i, offset_j, g, dilation, max_offset
         )
-        return jnp.zeros_like(x), dw, da, db
-    _, vjp = jax.vjp(
-        lambda xx, ww, aa, bb: adacof_warp_jnp(xx, ww, aa, bb, dilation),
-        x,
-        weight,
-        offset_i,
-        offset_j,
-    )
-    _dx, dw, da, db = vjp(g)
+    else:
+        R = float(max_offset)
+        _, vjp = jax.vjp(
+            lambda xx, ww, aa, bb: adacof_warp_jnp(
+                xx, ww, jnp.clip(aa, -R, R), jnp.clip(bb, -R, R), dilation
+            ),
+            x,
+            weight,
+            offset_i,
+            offset_j,
+        )
+        _dx, dw, da, db = vjp(g)
+    da, db = _saturation_mask(da, db, offset_i, offset_j, max_offset)
     # dx = zeros on EVERY backend (see docstring): keeps gradients
     # backend-independent and matches the reference's training semantics.
     return jnp.zeros_like(x), dw, da, db
@@ -561,9 +592,10 @@ adacof_warp_fast.defvjp(_fwd, _bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, dilation=1, max_offset=31):
+def adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, dilation=1, max_offset=48):
     """Tap-major-field variant: fields (F2, B, H, W), zero transposes.
-    Same gradient contract as `adacof_warp_fast` (dx = zeros everywhere)."""
+    Same gradient contract as `adacof_warp_fast` (dx = zeros everywhere,
+    dalpha/dbeta zero at offset saturation)."""
     return adacof_warp_pallas(
         x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
     )
@@ -582,21 +614,23 @@ def _bwd_tm(dilation, max_offset, res, g):
         dw, da, db = adacof_warp_pallas_bwd(
             x, w_tm, a_tm, b_tm, g, dilation, max_offset, tap_major=True
         )
-        return jnp.zeros_like(x), dw, da, db
-    _, vjp = jax.vjp(
-        lambda xx, ww, aa, bb: adacof_warp_jnp(
-            xx,
-            jnp.transpose(ww, (1, 2, 3, 0)),
-            jnp.transpose(aa, (1, 2, 3, 0)),
-            jnp.transpose(bb, (1, 2, 3, 0)),
-            dilation,
-        ),
-        x,
-        w_tm,
-        a_tm,
-        b_tm,
-    )
-    _dx, dw, da, db = vjp(g)
+    else:
+        R = float(max_offset)
+        _, vjp = jax.vjp(
+            lambda xx, ww, aa, bb: adacof_warp_jnp(
+                xx,
+                jnp.transpose(ww, (1, 2, 3, 0)),
+                jnp.clip(jnp.transpose(aa, (1, 2, 3, 0)), -R, R),
+                jnp.clip(jnp.transpose(bb, (1, 2, 3, 0)), -R, R),
+                dilation,
+            ),
+            x,
+            w_tm,
+            a_tm,
+            b_tm,
+        )
+        _dx, dw, da, db = vjp(g)
+    da, db = _saturation_mask(da, db, a_tm, b_tm, max_offset)
     # same backend-independent dx = zeros contract as adacof_warp_fast
     return jnp.zeros_like(x), dw, da, db
 

@@ -97,3 +97,35 @@ def test_pallas_backward_matches_jnp_grads(F, d, off):
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=2e-4)
+
+
+def test_saturation_gradient_is_zero():
+    """Regression for the round-3 training runaway: dalpha/dbeta must be the
+    TRUE gradient of the clamped forward — ZERO where |offset| >= max_offset.
+    The earlier contract (gradient evaluated at the clamped point) made
+    saturation self-reinforcing: once any offset crossed the clamp during the
+    28-px-motion demo training, the optimizer kept pushing it outward through
+    a forward that no longer responded, and the loss blew up inf within ~80
+    steps (deterministically; see tools/debug_trainstep.py)."""
+    from fmvfi_tpu.ops.adacof_pallas import adacof_warp_pallas_bwd, _saturation_mask
+
+    rng = np.random.default_rng(11)
+    R = 15
+    x, w, a, b = _case(rng, 32, 128, 5, 1, 2 * R)  # ~half the offsets saturate
+    g = jnp.asarray(rng.normal(size=(1, 32, 128, 3)).astype(np.float32))
+
+    # oracle: jnp autodiff THROUGH the clip (true gradient of the fast path)
+    def f(w_, a_, b_):
+        return adacof_warp(x, w_, jnp.clip(a_, -R, R), jnp.clip(b_, -R, R), 1)
+
+    _, vjp = jax.vjp(f, w, a, b)
+    dw_ref, da_ref, db_ref = vjp(g)
+
+    dw, da, db = adacof_warp_pallas_bwd(x, w, a, b, g, 1, max_offset=R, interpret=True)
+    da, db = _saturation_mask(da, db, a, b, R)
+    sat = np.abs(np.asarray(a)) >= R
+    assert sat.any() and (~sat).any()
+    assert (np.asarray(da)[sat] == 0).all()
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=2e-4)
