@@ -331,10 +331,22 @@ def fusion_interpolate(
     if uncertainty_maps:
         flow_var_map = ada_out.uncertainty[..., 0]  # (B, H, W)
 
-    # 2. PhaseNet (Lab domain)
+    # 2. PhaseNet (Lab domain).  Under a 2-D mesh the frame-stack concat's
+    # INPUTS are pinned to batch-only sharding: pinning only the concat
+    # output (r2) left SPMD free to give the concat an all-device H sharding
+    # and pay an involuntary full rematerialization converting it
+    # (concatenate.307); with the inputs pinned, the (data x spatial) ->
+    # (data x replicated) change is a plain spatial-group all-gather on each
+    # frame and the concat is born batch-sharded.
     lab1 = rgb_to_lab(frame1)
     lab2 = rgb_to_lab(frame2)
-    lab_batch = jnp.concatenate([_to_chan_batch(lab1), _to_chan_batch(lab2)], 0)
+    lab_batch = jnp.concatenate(
+        [
+            _wsc(_to_chan_batch(lab1), spatial_mesh, batch_axis),
+            _wsc(_to_chan_batch(lab2), spatial_mesh, batch_axis),
+        ],
+        0,
+    )
     dec = _phase_net_predict(
         weights.phase_net,
         lab_batch,
