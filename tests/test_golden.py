@@ -5,6 +5,13 @@ frequency-domain uncertainty...) touches the numerics.
 Values were recorded on the CPU backend with the published converted
 checkpoints (phase_net.pt / fusion_net.pt) + the bundled demo AdaCoF.
 Tolerance 0.05 dB per VERDICT r1 item 10.
+
+SCOPE: these pin drift against values THIS repo recorded — regression
+hygiene, not cross-implementation parity with the reference (which cannot
+run here: CUDA-only kernels, LFS-absent AdaCoF checkpoints).  Parity-to-
+reference evidence lives in the oracle tests (tests/test_torch_parity.py,
+tests/test_pyramid_oracle.py, tests/test_fusion_net.py's torch functional
+oracle) instead.
 """
 
 import os
