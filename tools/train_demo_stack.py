@@ -34,6 +34,9 @@ parser.add_argument("--lr", type=float, default=0.0, help="0 = stage default")
 parser.add_argument("--decay_steps", type=int, default=10000)
 parser.add_argument("--out", default="runs/demo_stack")
 parser.add_argument("--adacof_init", default="", help="stage a warm start / stage b frozen adacof (msgpack)")
+parser.add_argument("--fusion_init", default="",
+                    help="stage b warm start (fusion_net .pt or .msgpack, e.g. "
+                    "the converted published fusion_net.pt)")
 parser.add_argument("--probe_every", type=int, default=2000)
 parser.add_argument("--save_every", type=int, default=2000)
 parser.add_argument("--cpu", action="store_true")
@@ -186,6 +189,12 @@ else:
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
     )
+    if args.fusion_init:
+        from fmvfi_tpu.utils.convert import load_fusion_weights
+
+        init = load_fusion_weights(args.fusion_init)
+        state = state._replace(params=init["params"])
+        print(f"fusion warm start: {args.fusion_init}", flush=True)
     jstep = wrap_u8(step)
 
     from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
