@@ -47,6 +47,10 @@ import jax
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: supervisor restarts (and CPU fallback runs,
+# where the fusion train-step compile alone is >20 min) skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/fmvfi_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
