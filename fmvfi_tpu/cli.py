@@ -258,6 +258,8 @@ def cmd_evaluate(argv):
             max_num=args.max_num,
             overwrite=args.overwrite,
             lpips_fn=lpips_fn,
+            variant=args.fusion_variant,
+            uncertainty_maps=args.fusion_maps,
         )
         metric_bars(summary, out_path=f"{args.out_dir}/results.png")
 
@@ -269,6 +271,8 @@ def cmd_evaluate(argv):
                 triplets, weights, method,
                 output_dir=f"{args.out_dir}/{name}_{method}",
                 lpips_fn=lpips_fn,
+                variant=args.fusion_variant,
+                uncertainty_maps=args.fusion_maps,
             )
             with open(f"{args.out_dir}/result_{name}_{method}.json", "w") as f:
                 json.dump(res, f, indent=2)

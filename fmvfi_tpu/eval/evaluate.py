@@ -47,6 +47,8 @@ def evaluate_frames(
     return_preds: bool = False,
     batch_size: int = 4,
     lpips_fn=None,
+    variant: int = 0,
+    uncertainty_maps: int = 3,
 ) -> Dict[str, np.ndarray]:
     """Score every (i, i+1, i+2) triplet.  Returns {metric: (n_triplets,)}.
 
@@ -60,7 +62,7 @@ def evaluate_frames(
     for visualization."""
     frames = crop_center(frames, dim)
     n, h, w, _ = frames.shape
-    fn = _interp_fn(weights, h, w, method)
+    fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
     jmetrics = jax.jit(jax.vmap(all_metrics))
 
     n_triplets = n - 2
@@ -124,6 +126,8 @@ def evaluate_suite(
     overwrite: bool = False,
     visualize: bool = True,
     lpips_fn=None,
+    variant: int = 0,
+    uncertainty_maps: int = 3,
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Run the full benchmark suite; caches per (set, method) to
     `<out_dir>/result_<set>_<method>.npz`.  Returns
@@ -151,12 +155,14 @@ def evaluate_suite(
                     data = evaluate_frames(
                         frames, weights, method, dim, max_num,
                         return_preds=True, lpips_fn=lpips_fn,
+                        variant=variant, uncertainty_maps=uncertainty_maps,
                     )
                     np.savez(cache, **data)
             else:
                 data = evaluate_frames(
                     frames, weights, method, dim, max_num,
                     return_preds=visualize, lpips_fn=lpips_fn,
+                    variant=variant, uncertainty_maps=uncertainty_maps,
                 )
                 np.savez(cache, **data)
             if "preds" in data:
@@ -196,6 +202,8 @@ def evaluate_triplets(
     method: str = "fusion",
     output_dir: Optional[str] = None,
     lpips_fn=None,
+    variant: int = 0,
+    uncertainty_maps: int = 3,
 ) -> Dict[str, Dict[str, float]]:
     """Score explicit {scene: (f1, gt, f2)} triplets at native resolution
     (the TestModule.Test contract: per-scene PSNR + 'average' row,
@@ -214,7 +222,7 @@ def evaluate_triplets(
     results: Dict[str, Dict[str, float]] = {}
     for shape, names in by_shape.items():
         h, w, _ = shape
-        fn = _interp_fn(weights, h, w, method)
+        fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
         jm = jax.jit(lambda p, t: all_metrics(p, t))
         for name in names:
             f1, gt, f2 = triplets[name]

@@ -344,9 +344,19 @@ class AdaCoFNet(nn.Module):
         if use is None:
             use = jax.default_backend() == "tpu"
         if use:
-            from ..ops.adacof_pallas import adacof_warp_fast_tm
+            # the Pallas lane-gather window requires
+            # 2*max_offset + 2 + (F-1)*dilation <= 128; shrink the offset
+            # clamp to fit large kernel/dilation configs, and fall back to
+            # the XLA-gather warp when the fit leaves too little range
+            fit = (126 - (self.kernel_size - 1) * self.dilation) // 2
+            if fit >= 24:
+                from ..ops.adacof_pallas import adacof_warp_fast_tm
 
-            return adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, self.dilation)
+                return adacof_warp_fast_tm(
+                    x, w_tm, a_tm, b_tm, self.dilation,
+                    max_offset=min(48, fit),
+                )
+            # else: fall through to the exact unclamped XLA path
         to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
         return adacof_warp(x, to_nhwc(w_tm), to_nhwc(a_tm), to_nhwc(b_tm), self.dilation)
 

@@ -69,8 +69,14 @@ def write_frame_dir(path: str, frames: Sequence[np.ndarray]) -> None:
 
 def _interp_fn(weights, h: int, w: int, method: str,
                variant: int = 0, uncertainty_maps: int = 3):
-    filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
     if method == "fusion":
+        # fusion_interpolate reflect-pads off-/8 inputs internally, so its
+        # filter bank must be built at the PADDED resolution
+        ph, pw = (-h) % 8, (-w) % 8
+        filters = jax.tree.map(
+            jnp.asarray,
+            make_filters(h + ph, w + pw, max_pyr_height(h + ph, w + pw)),
+        )
         jfn = jax.jit(
             lambda wts, flt, a, b: fusion_interpolate(
                 wts, a, b, filters=flt,
@@ -78,6 +84,7 @@ def _interp_fn(weights, h: int, w: int, method: str,
             )
         )
         return lambda a, b: jfn(weights, filters, a, b)
+    filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
     if method == "phase":
         jfn = jax.jit(
             lambda wts, flt, a, b: phase_interpolate(wts, a, b, filters=flt)
@@ -114,6 +121,10 @@ def double_frame_rate(
     identical math (tests/test_pipeline.py pins stream == per-pair), fewer
     device passes per frame.  `stream=False` forces the per-pair path."""
     n, h, w, _ = frames.shape
+    if n < 2:  # nothing to interpolate between
+        for f in frames:
+            yield f
+        return
     if method == "fusion" and stream:
         yield from _double_frame_rate_stream(
             frames, weights, variant, uncertainty_maps

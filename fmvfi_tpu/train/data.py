@@ -138,11 +138,15 @@ class MixedSynthStream:
                 )
                 v = np.stack(f)
             elif k == 1:  # large motion, 8..28 px/frame (mostly horizontal:
-                # the triplet margin grows with |d|, keep dy modest)
+                # the triplet margin grows with |d|, keep dy modest).  The
+                # magnitude must NOT be scaled by cos(angle) — that collapses
+                # the documented 8-28 px range to [0, 28] with a sparse tail
+                # (the r2 coverage-hole failure mode); a random sign keeps
+                # both directions while preserving |dx| = 2*step.
                 step = rng.uniform(8.0, 28.0)
                 f = synth.translation_triplet(
                     h, w,
-                    dx=2 * step * np.cos(angle),
+                    dx=2 * step * (1.0 if rng.random() < 0.5 else -1.0),
                     dy=2 * rng.uniform(-4, 4),
                     seed=seed0 + i,
                 )

@@ -1,0 +1,109 @@
+"""Regression tests for the round-3 code-review fixes:
+
+1. `_interp_fn` must build the fusion filter bank at the PADDED resolution
+   (fusion_interpolate reflect-pads off-/8 inputs internally), or every
+   precomputed-filters caller (evaluate_triplets at native resolution,
+   cmd_interpolate, non-streaming cmd_video) crashed at decompose.
+2. `double_frame_rate` on a single frame must yield it back, not index
+   frames[1] (streaming) / unpack None (per-pair).
+3. MixedSynthStream's large-motion regime must keep |dx| = 2*step in the
+   documented 8-28 px/frame range (the earlier cos(angle) scaling collapsed
+   it to [0, 28] with a sparse tail — the r2 coverage-hole failure mode).
+4. The eval harness threads FusionNet `variant`/`uncertainty_maps` to the
+   pipeline (the published fusion_net_phase.pt / fusion_net_nouncertainty.pt
+   modes were silently evaluated as variant 0 / 3 maps).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fmvfi_tpu.eval.synth import translation_triplet, translation_video
+from fmvfi_tpu.models.adacof import AdaCoFNet
+from fmvfi_tpu.pipeline.interpolate import FusionWeights
+from fmvfi_tpu.pipeline.video import _interp_fn, double_frame_rate
+from fmvfi_tpu.utils.convert import fusion_net_from_torch, phase_net_from_torch
+
+PHASE_CKPT = "/root/reference/src/phase_net/phase_net.pt"
+FUSION_CKPT = "/root/reference/src/fusion_net/fusion_net.pt"
+needs_ckpts = pytest.mark.skipif(
+    not (os.path.exists(PHASE_CKPT) and os.path.exists(FUSION_CKPT)),
+    reason="reference checkpoints unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def weights():
+    z = jnp.zeros((1, 64, 64, 3))
+    return FusionWeights(
+        phase_net=phase_net_from_torch(PHASE_CKPT),
+        adacof=AdaCoFNet(kernel_size=5, dilation=1).init(jax.random.key(0), z, z),
+        fusion_net=fusion_net_from_torch(FUSION_CKPT),
+    )
+
+
+@needs_ckpts
+def test_interp_fn_fusion_off_grid(weights):
+    f1, _, f2 = translation_triplet(92, 148, dx=1.5, dy=0.0, seed=6)
+    fn = _interp_fn(weights, 92, 148, "fusion")
+    out = fn(jnp.asarray(f1)[None], jnp.asarray(f2)[None])
+    assert out.shape == (1, 92, 148, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_ckpts
+def test_double_frame_rate_single_frame(weights):
+    frames = translation_video(1, 64, 64, step=1.0)
+    for method, stream in (("fusion", True), ("fusion", False), ("adacof", True)):
+        out = list(double_frame_rate(frames, weights, method, stream=stream))
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0], frames[0])
+
+
+def test_mixed_stream_large_motion_magnitude(monkeypatch):
+    from fmvfi_tpu.eval import synth
+    from fmvfi_tpu.train import data as data_mod
+
+    recorded = []
+    real = synth.translation_triplet
+
+    def spy(h, w, dx=0.0, dy=0.0, seed=0):
+        recorded.append((dx, dy))
+        return real(h, w, dx=dx, dy=dy, seed=seed)
+
+    monkeypatch.setattr(synth, "translation_triplet", spy)
+    data_mod.MixedSynthStream(n=12, h=96, w=128, seed0=77, workers=2)
+    # scenes 1 and 7 are the large-motion regime (k = i % 6 == 1); they are
+    # the 2nd translation_triplet call of each 6-scene block, but thread
+    # order varies — instead select by magnitude class: large-motion dx is
+    # 2*step with step in [8, 28] -> |dx| in [16, 56]; plain translation is
+    # 2*step with step <= 8 -> |dx| <= 16.
+    big = [abs(dx) for dx, _ in recorded if abs(dx) > 16.0 + 1e-9]
+    assert len(big) == 2, recorded
+    for m in big:
+        assert 16.0 <= m <= 56.0
+
+
+@needs_ckpts
+def test_evaluate_frames_threads_fusion_mode(weights, monkeypatch):
+    """evaluate_frames(variant=, uncertainty_maps=) must reach _interp_fn."""
+    from fmvfi_tpu.eval import evaluate as ev
+
+    seen = {}
+    real = ev._interp_fn
+
+    def spy(w, h, ww, method, variant=0, uncertainty_maps=3):
+        seen["mode"] = (variant, uncertainty_maps)
+        return real(w, h, ww, method, variant, uncertainty_maps)
+
+    monkeypatch.setattr(ev, "_interp_fn", spy)
+    frames = translation_video(3, 64, 64, step=1.0)
+    ev.evaluate_frames(
+        frames, weights, "adacof", dim=64, max_num=1,
+        variant=1, uncertainty_maps=3,
+    )
+    assert seen["mode"] == (1, 3)

@@ -103,7 +103,9 @@ PROBES = probe_triplets()
 
 print(f"[{args.stage}] generating {args.pool}-scene mixed stream...", flush=True)
 t0 = time.time()
-cache = os.path.join(args.out, f"pool_{args.pool}.npy")
+# v2: large-motion regime magnitude fix in MixedSynthStream (dx no longer
+# scaled by cos(angle)) — a v1 pool must not be reused
+cache = os.path.join(args.out, f"pool_{args.pool}_v2.npy")
 if os.path.exists(cache):
     ds = MixedSynthStream.__new__(MixedSynthStream)
     ds._items = list(np.load(cache))
@@ -241,7 +243,17 @@ def save_state(st, tag="latest"):
     os.replace(tmp, path)
 
 
-batches = u8_batches(ds._items, args.batch, args.crop, seed=7)
+# A supervised restart resumes at the TrainState's absolute step: it runs
+# only the REMAINING budget (not args.steps again) and offsets the stream
+# seed so the early batches are not replayed.  Logged steps stay absolute.
+start_step = int(jax.device_get(state.step)) if args.resume_state else 0
+if start_step >= args.steps:
+    print(f"resumed at step {start_step} >= target {args.steps}; done",
+          flush=True)
+    sys.exit(0)
+if start_step:
+    print(f"continuing from absolute step {start_step}", flush=True)
+batches = u8_batches(ds._items, args.batch, args.crop, seed=7 + start_step)
 t_start = time.time()
 losses = []
 best_mean = -1.0
@@ -257,7 +269,8 @@ if os.path.exists(log_path):
                 best_mean = max(best_mean, r["probe_mean"])
 nonfinite_windows = 0
 last_window_finite = True  # gate on checkpoint writes
-for i, batch in enumerate(batches):
+for k, batch in enumerate(batches):
+    i = start_step + k
     if i >= args.steps:
         break
     batch = tuple(jnp.asarray(x) for x in batch)
@@ -265,7 +278,7 @@ for i, batch in enumerate(batches):
     losses.append(metrics["loss"])
     if (i + 1) % 100 == 0:
         lv = float(jnp.mean(jnp.stack([jnp.asarray(x) for x in losses[-100:]])))
-        rate = (i + 1) / (time.time() - t_start)
+        rate = (k + 1) / (time.time() - t_start)
         log({"step": i + 1, "loss": lv, "steps_per_s": round(rate, 3)})
         print(f"step {i+1} loss {lv:.5f} ({rate:.2f} it/s)", flush=True)
         last_window_finite = bool(np.isfinite(lv))
