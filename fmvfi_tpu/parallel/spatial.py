@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -78,3 +79,49 @@ def fusion_spatial_apply(
         return jfn(weights_r, jax.device_put(f1, sh), jax.device_put(f2, sh))
 
     return wrapper
+
+
+def fusion_spatial_trainer(
+    rng,
+    h: int,
+    w: int,
+    phase_vars,
+    adacof_vars,
+    mesh: Mesh,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+    **kw,
+):
+    """2-D (data x spatial) fusion TRAINING: the batch is sharded over
+    `batch_axis` AND image height over `spatial_axis`, extending the
+    inference-only 2-D path (fusion_spatial_apply) to the train step.
+
+    Params/optimizer state are replicated and the step is jitted with
+    explicit shardings, so XLA SPMD inserts the conv halo exchanges in the
+    forward AND backward and the cross-device gradient reduction — no
+    hand-written pmean, bit-comparable numerics to the single-device step
+    (tests/test_parallel.py::test_fusion_spatial_train_step).
+
+    Returns (state, step) like train.trainer.make_fusion_trainer; `step`
+    is already jitted and device_puts its batch."""
+    from ..train.trainer import make_fusion_trainer
+
+    state, step = make_fusion_trainer(
+        rng, h, w, phase_vars, adacof_vars,
+        spatial_mesh=mesh, batch_axis=batch_axis, spatial_axis=spatial_axis,
+        **kw,
+    )
+    rep = NamedSharding(mesh, P())
+    sh = data_spatial_sharding(mesh, batch_axis, spatial_axis)
+    jstep = jax.jit(
+        step,
+        in_shardings=(rep, (sh, sh, sh)),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+    def wrapper(st, batch):
+        batch = tuple(jax.device_put(jnp.asarray(b), sh) for b in batch)
+        return jstep(st, batch)
+
+    return state, wrapper

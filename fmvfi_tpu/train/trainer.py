@@ -326,9 +326,17 @@ def make_fusion_trainer(
     dilation: int = 1,
     lr: float = 1e-4,
     weight_decay: float = 0.0,
+    spatial_mesh=None,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
 ):
     """FusionNet training: frozen PhaseNet + AdaCoF produce the pipeline
-    inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254)."""
+    inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254).
+
+    `spatial_mesh`: a 2-D (data x spatial) Mesh threads through to
+    fusion_interpolate so the forward runs batch- AND height-sharded (the
+    FFT sections stay pinned to batch sharding); jit the returned step with
+    explicit shardings via parallel.spatial.fusion_spatial_trainer."""
     fusion = FusionNet()
     z3 = jnp.zeros((1, h, w, 3))
     fvars = fusion.init(
@@ -357,7 +365,9 @@ def make_fusion_trainer(
             fusion_net={"params": fparams},
         )
         pred = fusion_interpolate(
-            weights, f1, f2, kernel_size=kernel_size, dilation=dilation
+            weights, f1, f2, kernel_size=kernel_size, dilation=dilation,
+            spatial_mesh=spatial_mesh, batch_axis=batch_axis,
+            spatial_axis=spatial_axis,
         )
         return l1(pred, target)
 

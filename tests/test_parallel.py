@@ -265,3 +265,49 @@ def test_multiprocess_dp_matches_single():
     )
     np.testing.assert_allclose(results[0][0], float(metrics["loss"]), rtol=2e-5)
     np.testing.assert_allclose(results[0][1], ck, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_fusion_spatial_train_step_matches_single_device():
+    """2-D (data=4 x spatial=2) fusion TRAIN step: forward AND backward run
+    batch+height sharded (halo exchanges in both directions, SPMD-inserted
+    gradient reduction); loss and updated params must match the
+    single-device step."""
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
+    from fmvfi_tpu.ops import decomp as dec_ops
+    from fmvfi_tpu.ops.pyramid import decompose, make_filters, max_pyr_height
+    from fmvfi_tpu.parallel.spatial import fusion_spatial_trainer
+    from fmvfi_tpu.train.trainer import make_fusion_trainer
+
+    h = w = 64
+    key = jax.random.key(0)
+    filters = make_filters(h, w, max_pyr_height(h, w))
+    vals = decompose(jnp.zeros((3, h, w)), filters)
+    low, phases, amps = dec_ops.concat_for_net([vals, vals])
+    lown, pn, an, _ = normalize_inputs(low, phases, amps)
+    pv = PhaseNetCore(num_img=2).init(key, lown, pn, an)
+    z = jnp.zeros((1, h, w, 3))
+    av = AdaCoFNet(kernel_size=5, dilation=1).init(key, z, z)
+
+    rng = np.random.default_rng(11)
+    batch = tuple(
+        jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    state0, step0 = make_fusion_trainer(key, h, w, pv, av)
+    ref_state, ref_m = jax.jit(step0)(state0, batch)
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    state1, step1 = fusion_spatial_trainer(key, h, w, pv, av, mesh)
+    new_state, m = step1(state1, batch)
+
+    np.testing.assert_allclose(
+        float(m["loss"]), float(ref_m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
