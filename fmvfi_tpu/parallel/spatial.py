@@ -125,3 +125,35 @@ def fusion_spatial_trainer(
         return jstep(st, batch)
 
     return state, wrapper
+
+
+def adacof_spatial_trainer(
+    rng,
+    h: int,
+    w: int,
+    mesh: Mesh,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+    **kw,
+):
+    """2-D (data x spatial) AdaCoF training — same contract as
+    fusion_spatial_trainer.  Forces the XLA-gather warp (the Pallas kernel
+    is a single-device program); XLA SPMD partitions the U-Net with halo
+    exchanges and gathers the warp's source rows across the spatial axis."""
+    from ..train.trainer import make_adacof_trainer
+
+    state, step = make_adacof_trainer(rng, h, w, use_pallas=False, **kw)
+    rep = NamedSharding(mesh, P())
+    sh = data_spatial_sharding(mesh, batch_axis, spatial_axis)
+    jstep = jax.jit(
+        step,
+        in_shardings=(rep, (sh, sh, sh)),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+    def wrapper(st, batch):
+        batch = tuple(jax.device_put(jnp.asarray(b), sh) for b in batch)
+        return jstep(st, batch)
+
+    return state, wrapper

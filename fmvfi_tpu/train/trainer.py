@@ -214,6 +214,7 @@ def make_adacof_trainer(
     lr_decay_rate: float = 0.5,
     vgg_checkpoint: str = "",
     grad_clip: float = 1.0,
+    use_pallas: Optional[bool] = None,
 ):
     """AdaCoF training (config of the published checkpoints: Vimeo90k,
     ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion).
@@ -236,7 +237,11 @@ def make_adacof_trainer(
     from .losses import gan_terms, has_term, parse_loss_spec
 
     spec = loss_spec or parse_loss_spec("1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
-    model = AdaCoFNet(kernel_size=kernel_size, dilation=dilation)
+    # use_pallas=False for spatially-sharded training (the Pallas warp is a
+    # single-device program; parallel.spatial.adacof_spatial_trainer sets it)
+    model = AdaCoFNet(
+        kernel_size=kernel_size, dilation=dilation, use_pallas=use_pallas
+    )
     schedule = (
         optax.exponential_decay(
             lr, lr_decay_steps, lr_decay_rate, staircase=True

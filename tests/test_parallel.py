@@ -311,3 +311,34 @@ def test_fusion_spatial_train_step_matches_single_device():
         jax.tree_util.tree_leaves(ref_state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_adacof_spatial_train_step_matches_single_device():
+    """2-D (data=4 x spatial=2) AdaCoF TRAIN step == single-device step
+    (XLA-gather warp under height sharding; Charb+smoothness loss)."""
+    from fmvfi_tpu.parallel.spatial import adacof_spatial_trainer
+
+    h = w = 64
+    key = jax.random.key(0)
+    rng = np.random.default_rng(13)
+    batch = tuple(
+        jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    state0, step0 = make_adacof_trainer(key, h, w, use_pallas=False)
+    ref_state, ref_m = jax.jit(step0)(state0, batch)
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    state1, step1 = adacof_spatial_trainer(key, h, w, mesh)
+    new_state, m = step1(state1, batch)
+
+    np.testing.assert_allclose(
+        float(m["loss"]), float(ref_m["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
