@@ -219,6 +219,12 @@ def adacof_warp_pallas(
         f"max_offset {R} exceeds the 2-tile lane-gather window for "
         f"F={F}, dilation={dilation} (bound: {(126 - (F - 1) * dilation) // 2})"
     )
+    # pltpu.roll silently corrupts data beyond 16 sublanes on v5e (see the
+    # kernel body); slabs load (tile_h + 8) rows, so tile_h must stay <= 8
+    assert 1 <= tile_h <= 8, (
+        f"tile_h {tile_h}: slab height tile_h+8 would exceed the 16-sublane "
+        "roll limit"
+    )
     assert H_in - ((F - 1) * dilation + 1) == H - 1
 
     # pad to grid-friendly sizes
@@ -478,6 +484,12 @@ def adacof_warp_pallas_bwd(
         f"max_offset {R} exceeds the 2-tile lane-gather window for "
         f"F={F}, dilation={dilation} (bound: {(126 - (F - 1) * dilation) // 2})"
     )
+    # pltpu.roll silently corrupts data beyond 16 sublanes on v5e (see the
+    # kernel body); slabs load (tile_h + 8) rows, so tile_h must stay <= 8
+    assert 1 <= tile_h <= 8, (
+        f"tile_h {tile_h}: slab height tile_h+8 would exceed the 16-sublane "
+        "roll limit"
+    )
 
     Ht = _round_up(H, tile_h)
     Wt = _round_up(W, 128)
@@ -534,6 +546,27 @@ def _saturation_mask(da, db, offset_i, offset_j, max_offset):
     )
 
 
+def _fwd_dispatch(x, weight, offset_i, offset_j, dilation, max_offset, tap_major):
+    """Backend-dispatched CLIPPED forward: Pallas on TPU, jnp elsewhere —
+    same dispatch as the backward, so adacof_warp_fast[/_tm] is callable
+    (and its gradient contract exercisable) on every backend."""
+    if jax.default_backend() == "tpu":
+        return adacof_warp_pallas(
+            x, weight, offset_i, offset_j, dilation, max_offset,
+            tap_major=tap_major,
+        )
+    R = float(max_offset)
+    if tap_major:
+        to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
+        weight, offset_i, offset_j = (
+            to_nhwc(weight), to_nhwc(offset_i), to_nhwc(offset_j),
+        )
+    return adacof_warp_jnp(
+        x, weight, jnp.clip(offset_i, -R, R), jnp.clip(offset_j, -R, R),
+        dilation,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=48):
     """Pallas forward, fused-Pallas backward (reference CUDA gradient math).
@@ -549,13 +582,15 @@ def adacof_warp_fast(x, weight, offset_i, offset_j, dilation=1, max_offset=48):
         gradient).  The non-TPU fallback differentiates the clipped jnp warp,
         which gives the same thing.
     """
-    return adacof_warp_pallas(
-        x, weight, offset_i, offset_j, dilation, max_offset
+    return _fwd_dispatch(
+        x, weight, offset_i, offset_j, dilation, max_offset, tap_major=False
     )
 
 
 def _fwd(x, weight, offset_i, offset_j, dilation, max_offset):
-    out = adacof_warp_pallas(x, weight, offset_i, offset_j, dilation, max_offset)
+    out = _fwd_dispatch(
+        x, weight, offset_i, offset_j, dilation, max_offset, tap_major=False
+    )
     return out, (x, weight, offset_i, offset_j)
 
 
@@ -596,13 +631,13 @@ def adacof_warp_fast_tm(x, w_tm, a_tm, b_tm, dilation=1, max_offset=48):
     """Tap-major-field variant: fields (F2, B, H, W), zero transposes.
     Same gradient contract as `adacof_warp_fast` (dx = zeros everywhere,
     dalpha/dbeta zero at offset saturation)."""
-    return adacof_warp_pallas(
+    return _fwd_dispatch(
         x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
     )
 
 
 def _fwd_tm(x, w_tm, a_tm, b_tm, dilation, max_offset):
-    out = adacof_warp_pallas(
+    out = _fwd_dispatch(
         x, w_tm, a_tm, b_tm, dilation, max_offset, tap_major=True
     )
     return out, (x, w_tm, a_tm, b_tm)

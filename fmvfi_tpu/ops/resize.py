@@ -36,21 +36,6 @@ def _axis_weights(n_in: int, n_out: int, align_corners: bool):
     return i0, i1, w
 
 
-import functools
-
-
-def _resize_matrix(n_in: int, n_out: int, align_corners: bool) -> jnp.ndarray:
-    """Dense (n_in, n_out) interpolation matrix (2 nonzeros per column), built
-    ON DEVICE from tiny index/weight vectors so only KBs of constants embed in
-    the program (a materialized numpy matrix would inline MBs of HLO constants
-    per resize — enough to overflow remote-compile payload limits)."""
-    i0, i1, w = _axis_weights(n_in, n_out, align_corners)
-    rows = jnp.arange(n_in, dtype=jnp.int32)[:, None]
-    i0j = jnp.asarray(i0)[None, :]
-    i1j = jnp.asarray(i1)[None, :]
-    wj = jnp.asarray(w)[None, :]
-    return jnp.where(rows == i0j, 1.0 - wj, 0.0) + jnp.where(rows == i1j, wj, 0.0)
-
 
 def _resize_axis(x: jnp.ndarray, axis: int, n_out: int, align_corners: bool,
                  block: int = 128):

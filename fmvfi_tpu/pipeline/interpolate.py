@@ -28,7 +28,7 @@ from ..models.phase_net import (
 )
 from ..ops import decomp as dec_ops
 from ..ops.color import lab_to_rgb, rgb_to_lab
-from ..ops.filters import gaussian_blur, median_filter, median_filter_fast
+from ..ops.filters import gaussian_blur, median_filter_fast
 from ..ops.pyramid import (
     Decomp,
     decompose,
@@ -236,8 +236,14 @@ def phase_interpolate(
     b, h, w, _ = frame1.shape
     if filters is None:
         filters = make_filters(h, w, height or max_pyr_height(h, w))
+    # pin the concat INPUTS to batch sharding under a 2-D mesh — same
+    # involuntary-remat fix as fusion_interpolate's frame-stack concat
     lab = jnp.concatenate(
-        [_to_chan_batch(rgb_to_lab(frame1)), _to_chan_batch(rgb_to_lab(frame2))], 0
+        [
+            _wsc(_to_chan_batch(rgb_to_lab(frame1)), spatial_mesh, batch_axis),
+            _wsc(_to_chan_batch(rgb_to_lab(frame2)), spatial_mesh, batch_axis),
+        ],
+        0,
     )
     dec = _phase_net_predict(
         phase_vars, lab, filters, spatial_mesh=spatial_mesh, batch_axis=batch_axis
@@ -379,6 +385,9 @@ def fusion_interpolate(
         kernel_size=kernel_size,
         dilation=dilation,
         dtype=compute_dtype,
+        # same single-device-kernel rule as the main pass: the Pallas warp
+        # cannot partition under a spatial mesh
+        use_pallas=False if spatial_mesh is not None else None,
         with_stats=False,
     )
     lhs = jnp.concatenate([frame1, phase_pred], axis=0)
