@@ -35,10 +35,21 @@ def _load_weights(args, h, w):
     ckpt_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints"
     )
+    # single-model methods load only their own weights (phase-only use must
+    # not require an AdaCoF/FusionNet checkpoint and vice versa); the eval
+    # command compares methods, so it keeps everything
+    method = getattr(args, "method", "fusion")
+    methods = set(getattr(args, "methods", method).split(","))
+    need_ada = bool(methods - {"phase"})
+    need_phase = bool(methods - {"adacof"})
+    need_fusion = bool(methods & {"fusion"})
+
     rng = jax.random.key(0)
     z = jnp.zeros((1, max(h, 32), max(w, 32), 3))
     using_demo_ada = False
-    if args.adacof_checkpoint:
+    if not need_ada:
+        ada = None
+    elif args.adacof_checkpoint:
         ada = load_adacof_weights(
             args.adacof_checkpoint, args.kernel_size, args.dilation
         )
@@ -62,7 +73,8 @@ def _load_weights(args, h, w):
     fusion_ckpt = args.fusion_checkpoint
     demo_fusion = os.path.join(ckpt_dir, "fusion_synth_demo.msgpack")
     if (
-        using_demo_ada
+        need_fusion
+        and using_demo_ada
         and os.path.exists(demo_fusion)
         and fusion_ckpt.endswith("fusion_net.pt")
     ):
@@ -82,10 +94,14 @@ def _load_weights(args, h, w):
     if getattr(args, "fusion_maps", -1) < 0:
         args.fusion_maps = 0 if "nouncertainty" in name else 3
     return FusionWeights(
-        phase_net=phase_net_from_torch(args.phase_checkpoint),
+        phase_net=(
+            phase_net_from_torch(args.phase_checkpoint) if need_phase else None
+        ),
         adacof=ada,
-        fusion_net=load_fusion_weights(
-            fusion_ckpt, uncertainty_maps=args.fusion_maps
+        fusion_net=(
+            load_fusion_weights(fusion_ckpt, uncertainty_maps=args.fusion_maps)
+            if need_fusion
+            else None
         ),
     )
 
@@ -349,6 +365,7 @@ def cmd_train(argv):
             rng, hw, hw, w.phase_net, w.adacof,
             kernel_size=args.kernel_size, dilation=args.dilation,
             lr=args.lr or 1e-4,
+            variant=args.fusion_variant, uncertainty_maps=args.fusion_maps,
         )
 
     # persist the full config next to the checkpoints (train/train.py:107-111)
@@ -375,15 +392,18 @@ def cmd_train(argv):
         print("note: no --data_dir, training on synthetic motion", file=sys.stderr)
     batches = batch_iterator(ds, args.batch_size, crop=args.crop)
 
+    wrap = None
     if args.data_parallel:
         from .parallel.dp import data_parallel
         from .parallel.mesh import make_mesh, replicate, shard_batch
 
         mesh = make_mesh()
-        pstep = data_parallel(step, mesh)
         state = replicate(mesh, state)
 
-        step = lambda s, b: pstep(s, shard_batch(mesh, b))
+        def wrap(raw):  # fit() applies this to the initial step AND to
+            # every m-schedule rebuild (previously the rebuild dropped DP)
+            pstep = data_parallel(raw, mesh)
+            return lambda s, b: pstep(s, shard_batch(mesh, b))
 
     state = fit(
         state, step, batches, args.out_dir,
@@ -391,6 +411,7 @@ def cmd_train(argv):
         jit=not args.data_parallel,
         make_step=make_step if args.m else None,
         m_init=args.m or None, m_update=args.m_update,
+        wrap_step=wrap,
     )
     print(f"trained {int(state.step)} steps; checkpoints in {args.out_dir}/checkpoint")
 

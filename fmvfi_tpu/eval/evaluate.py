@@ -116,6 +116,23 @@ def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
     return sets
 
 
+def _weights_digest(weights, *config) -> str:
+    """Short content key for the result cache.  Without it the cache was
+    keyed only by (set, method): re-evaluating a different checkpoint into
+    the same out_dir silently returned the previous model's numbers."""
+    import hashlib
+
+    hsh = hashlib.sha1()
+    hsh.update("|".join(map(str, config)).encode())
+    for leaf in jax.tree_util.tree_leaves(weights):
+        a = np.asarray(leaf)
+        hsh.update(f"{a.shape}{a.dtype}".encode())
+        flat = a.ravel()
+        if flat.size:
+            hsh.update(flat[:: max(1, flat.size // 64)][:65].tobytes())
+    return hsh.hexdigest()[:10]
+
+
 def evaluate_suite(
     weights,
     out_dir: str,
@@ -130,7 +147,7 @@ def evaluate_suite(
     uncertainty_maps: int = 3,
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Run the full benchmark suite; caches per (set, method) to
-    `<out_dir>/result_<set>_<method>.npz`.  Returns
+    `<out_dir>/result_<set>_<method>_<weights-digest>.npz`.  Returns
     {set: {method: {metric: mean}}} and writes a summary.json.
 
     With visualize=True (the reference always does, evaluate.py:264-266) each
@@ -141,12 +158,15 @@ def evaluate_suite(
     os.makedirs(out_dir, exist_ok=True)
     if sets is None:
         sets = synthetic_sets(dim)
+    digest = _weights_digest(weights, variant, uncertainty_maps, dim, max_num)
     summary: Dict[str, Dict[str, Dict[str, float]]] = {}
     for name, frames in sets.items():
         summary[name] = {}
         preds_by_method: Dict[str, np.ndarray] = {}
         for method in methods:
-            cache = os.path.join(out_dir, f"result_{name}_{method}.npz")
+            cache = os.path.join(
+                out_dir, f"result_{name}_{method}_{digest}.npz"
+            )
             if os.path.exists(cache) and not overwrite:
                 data = dict(np.load(cache))
                 if (visualize and "preds" not in data) or (

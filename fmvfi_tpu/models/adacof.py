@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.adacof import adacof_warp, flow_stats, pad_replicate
+from ..ops.adacof import adacof_warp, pad_replicate
 from ..ops.resize import avg_pool2, upsample2x
 
 # fixed RGB mean shift (utility.py:87)

@@ -25,7 +25,9 @@ class AdvState(NamedTuple):
     params: Any
     batch_stats: Any  # {} for BN-free (WGAN_GP-family) critics
     opt_state: Any
-    rng: jax.Array
+    rng: jax.Array  # RAW key data (jax.random.key_data) — typed PRNG keys
+    # are extended-dtype arrays that orbax StandardCheckpointer rejects, and
+    # AdvState rides in TrainState.extra through fit()'s checkpoints
 
 
 def _bce_logits(logits, target):
@@ -42,7 +44,8 @@ class Adversarial:
         self,
         gan_type: str,
         rng: jax.Array,
-        patch_size: int = 96,
+        patch_size=96,  # int or (h, w) — the BN trunks flatten into a Dense,
+        # so the critic must be initialized at the REAL crop shape
         lr: Optional[float] = None,
     ):
         self.gan_type = gan_type
@@ -58,7 +61,11 @@ class Adversarial:
         else:
             self.tx = optax.adam(lr or 1e-4)
 
-        z = jnp.zeros((1, patch_size, patch_size, 3))
+        ph, pw = (
+            patch_size if isinstance(patch_size, (tuple, list))
+            else (patch_size, patch_size)
+        )
+        z = jnp.zeros((1, ph, pw, 3))
         if gan_type == "T_WGAN_GP":
             variables = self.model.init(rng, z, z, z)
         elif gan_type == "FI_GAN":
@@ -69,16 +76,25 @@ class Adversarial:
             variables["params"],
             variables.get("batch_stats", {}),
             self.tx.init(variables["params"]),
-            rng,
+            jax.random.key_data(rng),
         )
 
     def init_state(self) -> AdvState:
         return self._init_state
 
     def _d(self, params, stats, *frames):
+        """Critic forward in TRAIN mode when the trunk has BatchNorm:
+        normalize by the BATCH statistics, exactly as the reference's torch
+        critics do inside training (they run in train mode throughout).
+        The mutated running-stats collection is discarded here; step()
+        refreshes AdvState.batch_stats once per step after the update."""
         v = {"params": params}
         if stats:
             v["batch_stats"] = stats
+            out, _ = self.model.apply(
+                v, *frames, train=True, mutable=["batch_stats"]
+            )
+            return out
         return self.model.apply(v, *frames)
 
     def step(
@@ -92,7 +108,7 @@ class Adversarial:
         gan = self.gan_type
         fake_d = jax.lax.stop_gradient(fake)
         stats = state.batch_stats
-        rng, sub = jax.random.split(state.rng)
+        rng, sub = jax.random.split(jax.random.wrap_key_data(state.rng))
 
         def d_loss_fn(params):
             if gan == "T_WGAN_GP":
@@ -157,4 +173,23 @@ class Adversarial:
             else:
                 g_loss = -jnp.mean(self._d(dp, stats, fake))
 
-        return g_loss, AdvState(params, stats, opt_state, rng), {"d_loss": d_loss}
+        # refresh the running-stats collection once per step with the
+        # updated params (advisory only — training normalization uses batch
+        # statistics, see _d; these matter only if the critic is ever run
+        # in eval mode)
+        new_stats = stats
+        if stats:
+            ref = (
+                (input_frames[0], fake_d) if gan == "FI_GAN" else (real,)
+            )
+            _, mut = self.model.apply(
+                {"params": params, "batch_stats": stats}, *ref,
+                train=True, mutable=["batch_stats"],
+            )
+            new_stats = mut["batch_stats"]
+
+        return (
+            g_loss,
+            AdvState(params, new_stats, opt_state, jax.random.key_data(rng)),
+            {"d_loss": d_loss},
+        )

@@ -281,10 +281,28 @@ def batch_iterator(
                         batch = tuple(
                             np.stack([it[j] for it in items]) for j in range(3)
                         )
-                    q.put(batch)
+                    # bounded put that keeps observing `stop`: a plain
+                    # q.put(batch) blocks forever once the consumer exits
+                    # with the queue full, leaking the thread + its batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 epoch += 1
         finally:
-            q.put(None)
+            while True:
+                try:
+                    q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:  # make room: the consumer is gone or about to drain
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

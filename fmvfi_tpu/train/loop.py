@@ -114,6 +114,7 @@ def fit(
     m_init: Optional[int] = None,
     m_update: int = 500,
     m_max: int = 10,
+    wrap_step: Optional[Callable[[Callable], Callable]] = None,
     image_probe: Optional[Callable] = None,
     image_every: int = 100,
 ):
@@ -137,12 +138,21 @@ def fit(
     if resume and ckptr.latest() is not None:
         state = ckptr.restore(state)
 
-    m = m_init
-    if make_step is not None and m is not None:
-        step_fn = make_step(m)
-    fn = jax.jit(step_fn) if jit else step_fn
+    # `wrap_step` re-applies any outer wrapper (e.g. data_parallel sharding)
+    # every time the hierarchical-m schedule rebuilds the step — without it,
+    # --data_parallel + --m silently dropped the DP wrapper on rebuild
+    _wrap = wrap_step if wrap_step is not None else (lambda f: f)
     it = iter(batches)
     step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
+
+    m = m_init
+    if make_step is not None and m is not None:
+        # resume-aware: advance m to where an uninterrupted run would be at
+        # the restored step, instead of restarting the exchange schedule
+        if step:
+            m = min(m_max, m_init + step // m_update)
+        step_fn = make_step(m)
+    fn = jax.jit(_wrap(step_fn)) if jit else _wrap(step_fn)
 
     for epoch in range(epochs):
         n = 0
@@ -181,7 +191,7 @@ def fit(
             ):
                 m += 1
                 step_fn = make_step(m)
-                fn = jax.jit(step_fn) if jit else step_fn
+                fn = jax.jit(_wrap(step_fn)) if jit else _wrap(step_fn)
         if probe is not None:
             p = probe(state)
             writer.write(step, {"probe_psnr": p}, epoch=epoch)

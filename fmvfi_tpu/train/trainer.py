@@ -278,7 +278,7 @@ def make_adacof_trainer(
     adv_state = None
     if gans:
         rng, sub = jax.random.split(rng)
-        adv = Adversarial(gans[0][1], sub, patch_size=min(h, w))
+        adv = Adversarial(gans[0][1], sub, patch_size=(h, w))
         adv_state = adv.init_state()
 
     state = _init_state(variables["params"], adv_state, tx)
@@ -334,18 +334,27 @@ def make_fusion_trainer(
     spatial_mesh=None,
     batch_axis: str = "data",
     spatial_axis: str = "spatial",
+    variant: int = 0,
+    uncertainty_maps: int = 3,
 ):
     """FusionNet training: frozen PhaseNet + AdaCoF produce the pipeline
     inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254).
+
+    `variant`/`uncertainty_maps` select the published-checkpoint modes
+    (fusion_net.py:69-77, fusion_net/train.py:79): (1, 3) trains the
+    phase-residual `fusion_net_phase.pt` architecture, (0, 0) the no-maps
+    `fusion_net_nouncertainty.pt` ablation.
 
     `spatial_mesh`: a 2-D (data x spatial) Mesh threads through to
     fusion_interpolate so the forward runs batch- AND height-sharded (the
     FFT sections stay pinned to batch sharding); jit the returned step with
     explicit shardings via parallel.spatial.fusion_spatial_trainer."""
-    fusion = FusionNet()
+    fusion = FusionNet(uncertainty_maps=uncertainty_maps)
     z3 = jnp.zeros((1, h, w, 3))
     fvars = fusion.init(
-        rng, z3, z3, z3, jnp.zeros((1, h, w, 6)), jnp.zeros((1, h, w, 3))
+        rng, z3, z3, z3, jnp.zeros((1, h, w, 6)),
+        jnp.zeros((1, h, w, uncertainty_maps)) if uncertainty_maps else None,
+        variant,
     )
     tx = (
         optax.adamw(lr, weight_decay=weight_decay)
@@ -373,6 +382,7 @@ def make_fusion_trainer(
             weights, f1, f2, kernel_size=kernel_size, dilation=dilation,
             spatial_mesh=spatial_mesh, batch_axis=batch_axis,
             spatial_axis=spatial_axis,
+            variant=variant, uncertainty_maps=uncertainty_maps,
         )
         return l1(pred, target)
 
