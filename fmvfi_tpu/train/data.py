@@ -296,13 +296,16 @@ def batch_iterator(
         finally:
             while True:
                 try:
-                    q.put_nowait(None)
+                    q.put(None, timeout=0.2)
                     break
                 except queue.Full:
-                    try:  # make room: the consumer is gone or about to drain
-                        q.get_nowait()
-                    except queue.Empty:
-                        pass
+                    # evict ONLY once the consumer is known gone (stop set);
+                    # a merely-slow consumer must still see every real batch
+                    if stop.is_set():
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
