@@ -15,6 +15,7 @@
 """
 
 import os
+from typing import NamedTuple
 
 import numpy as np
 import pytest
@@ -107,3 +108,107 @@ def test_evaluate_frames_threads_fusion_mode(weights, monkeypatch):
         variant=1, uncertainty_maps=3,
     )
     assert seen["mode"] == (1, 3)
+
+
+def test_load_weights_method_gated(monkeypatch):
+    """`_load_weights` loads only the checkpoints its method needs
+    (package-review fix): phase-only use must not touch AdaCoF/FusionNet
+    loaders, adacof-only must not touch PhaseNet's, eval keeps everything."""
+    from types import SimpleNamespace
+
+    from fmvfi_tpu import cli
+
+    calls = []
+    monkeypatch.setattr(
+        "fmvfi_tpu.utils.convert.load_adacof_weights",
+        lambda *a, **k: calls.append("ada") or "ADA",
+    )
+    monkeypatch.setattr(
+        "fmvfi_tpu.utils.convert.load_fusion_weights",
+        lambda *a, **k: calls.append("fus") or "FUS",
+    )
+    monkeypatch.setattr(
+        "fmvfi_tpu.utils.convert.phase_net_from_torch",
+        lambda *a, **k: calls.append("pha") or "PHA",
+    )
+
+    def make_args(**kw):
+        return SimpleNamespace(
+            adacof_checkpoint="x.msgpack",
+            fusion_checkpoint="fusion_net.pt",
+            phase_checkpoint="phase_net.pt",
+            kernel_size=5, dilation=1, fusion_variant=-1, fusion_maps=-1,
+            **kw,
+        )
+
+    w = cli._load_weights(make_args(method="phase"), 64, 64)
+    assert (w.phase_net, w.adacof, w.fusion_net) == ("PHA", None, None)
+    assert calls == ["pha"]
+
+    calls.clear()
+    w = cli._load_weights(make_args(method="adacof"), 64, 64)
+    assert (w.phase_net, w.adacof, w.fusion_net) == (None, "ADA", None)
+    assert calls == ["ada"]
+
+    calls.clear()
+    w = cli._load_weights(
+        make_args(methods="fusion,phase,adacof", method="fusion"), 64, 64
+    )
+    assert (w.phase_net, w.adacof, w.fusion_net) == ("PHA", "ADA", "FUS")
+    assert sorted(calls) == ["ada", "fus", "pha"]
+
+    calls.clear()  # baseline = spectral split of phase+adacof, no FusionNet
+    w = cli._load_weights(make_args(method="baseline"), 64, 64)
+    assert (w.phase_net, w.adacof, w.fusion_net) == ("PHA", "ADA", None)
+
+
+class _S(NamedTuple):
+    """Minimal fit()-compatible state (a pytree, so epoch-end orbax
+    checkpointing works)."""
+
+    step: np.ndarray
+
+
+def _schedule_harness(tmp_path, initial_step, n_batches, m_init, m_update,
+                      m_max):
+    """Run fit() with an m-schedule + wrap_step; return the m each (re)build
+    passed through the wrapper."""
+    from fmvfi_tpu.train.loop import fit
+
+    wrapped_ms = []
+
+    def make_step(m):
+        def step(state, batch):
+            return _S(state.step + 1), {"loss": np.float32(m)}
+
+        step.m = m
+        return step
+
+    def wrap(fn):
+        wrapped_ms.append(fn.m)
+        return fn
+
+    batches = [(np.zeros(1),)] * n_batches
+    fit(
+        _S(np.int64(initial_step)), None, iter(batches), str(tmp_path),
+        epochs=1,
+        jit=False, make_step=make_step, m_init=m_init, m_update=m_update,
+        m_max=m_max, wrap_step=wrap, log_every=1000, ckpt_every=10**9,
+        resume=False,
+    )
+    return wrapped_ms
+
+
+def test_fit_wrap_step_survives_m_rebuild(tmp_path):
+    """The wrap_step wrapper (e.g. data_parallel) must be re-applied at every
+    hierarchical-m step rebuild (review fix: --data_parallel + --m silently
+    dropped DP on rebuild)."""
+    ms = _schedule_harness(tmp_path / "a", 0, 6, m_init=1, m_update=2, m_max=3)
+    assert ms == [1, 2, 3]
+
+
+def test_fit_m_resumes_at_restored_step(tmp_path):
+    """A resumed run advances m to where an uninterrupted run would be at the
+    restored step instead of restarting the exchange schedule."""
+    ms = _schedule_harness(tmp_path / "b", 4, 2, m_init=1, m_update=2, m_max=9)
+    assert ms[0] == 3  # 1 + 4 // 2
