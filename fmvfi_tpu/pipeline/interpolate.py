@@ -121,16 +121,15 @@ def _shmap_batch(fn, mesh, batch_axis, n_img_args, n_outs=1):
     anyway, and the XLA CPU backend additionally rejects the layouts SPMD
     propagation produces inside fft thunks).  `fn(filters, *imgs)`; images
     and outputs are leading-batch-axis arrays/pytrees."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(batch_axis)
-    return shard_map(
+    return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(),) + (spec,) * n_img_args,
         out_specs=spec if n_outs == 1 else (spec,) * n_outs,
-        check_rep=False,
+        check_vma=False,
     )
 
 
