@@ -416,6 +416,35 @@ def cmd_train(argv):
     print(f"trained {int(state.step)} steps; checkpoints in {args.out_dir}/checkpoint")
 
 
+def cmd_export(argv):
+    """AOT-export a pipeline as a self-contained serving artifact (StableHLO
+    + weights in one .npz) loadable with plain jax — no fmvfi_tpu, no torch.
+    The reference has no deployment story beyond running its scripts in-tree."""
+    p = argparse.ArgumentParser(prog="export", description=cmd_export.__doc__)
+    p.add_argument("--size", default="512x512", help="HxW the artifact serves")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--out", default="pipeline.fmx.npz")
+    p.add_argument("--platforms", default="",
+                   help="comma list (e.g. tpu,cpu) for a multi-platform "
+                        "artifact; empty = current platform")
+    _common(p)
+    args = p.parse_args(argv)
+    h, w = (int(x) for x in args.size.split("x"))
+
+    from .utils.export import export_pipeline, save_exported
+
+    weights = _load_weights(args, h, w)  # resolves fusion_variant/maps >= 0
+    blob = export_pipeline(
+        weights, h, w, args.method, batch=args.batch,
+        kernel_size=args.kernel_size, dilation=args.dilation,
+        variant=args.fusion_variant, uncertainty_maps=args.fusion_maps,
+        platforms=[s for s in args.platforms.split(",") if s] or None,
+    )
+    save_exported(args.out, blob)
+    print(f"exported {args.method} {args.batch}x{h}x{w} -> {args.out} "
+          f"({len(blob)/1e6:.1f} MB)")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmds = {
@@ -423,6 +452,7 @@ def main(argv=None):
         "video": cmd_video,
         "evaluate": cmd_evaluate,
         "train": cmd_train,
+        "export": cmd_export,
     }
     if not argv or argv[0] not in cmds:
         print(f"usage: python -m fmvfi_tpu.cli {{{'|'.join(cmds)}}} ...")
