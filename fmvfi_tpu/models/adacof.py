@@ -337,6 +337,24 @@ class AdaCoFNet(nn.Module):
     dtype: object = None  # compute dtype for the kernel-estimation U-Net
     with_stats: bool = True  # flow mean/var + uncertainty (skip for the
     # baseline composite passes that only consume .blended)
+    spatial_mesh: object = None  # 2-D (data x spatial) Mesh: route the warp
+    # through the halo-exchange shard_map (parallel/spatial.py) so each
+    # device runs the fast single-device kernel on its H-shard instead of
+    # the SPMD-partitioned gather
+    batch_axis: str = "data"
+    spatial_axis: str = "spatial"
+
+    def _sharded_max_offset(self, h: int, b2: int) -> int:
+        """Offset clamp for the halo-exchange warp, or 0 if the shapes
+        don't shard (fall back to the SPMD gather warp)."""
+        n_sp = self.spatial_mesh.shape[self.spatial_axis]
+        n_b = self.spatial_mesh.shape[self.batch_axis]
+        if h % n_sp or b2 % n_b:
+            return 0
+        kp = ((self.kernel_size - 1) * self.dilation) // 2
+        fit = (126 - (self.kernel_size - 1) * self.dilation) // 2
+        r = min(48, fit, h // n_sp - kp - 1)
+        return r if r >= 8 else 0
 
     def _warp(self, x, w_tm, a_tm, b_tm):
         """Warp with TAP-MAJOR fields (K, B, H, W)."""
@@ -380,15 +398,27 @@ class AdaCoFNet(nn.Module):
         # ONE warp launch for both frames: frames stacked on the batch axis,
         # fields on the tap-major batch axis — same math, half the kernel
         # dispatches and twice the grid for DMA/compute overlap
-        xs = jnp.concatenate(
-            [pad_replicate(frame0, kp), pad_replicate(frame2, kp)], axis=0
+        w_cat = jnp.concatenate([w1, w2], axis=1)
+        a_cat = jnp.concatenate([a1, a2], axis=1)
+        b_cat = jnp.concatenate([b1, b2], axis=1)
+        r_sh = (
+            self._sharded_max_offset(frame0.shape[1], 2 * frame0.shape[0])
+            if self.spatial_mesh is not None
+            else 0
         )
-        wboth = self._warp(
-            xs,
-            jnp.concatenate([w1, w2], axis=1),
-            jnp.concatenate([a1, a2], axis=1),
-            jnp.concatenate([b1, b2], axis=1),
-        )
+        if r_sh:
+            from ..parallel.spatial import adacof_warp_tm_sharded
+
+            wboth = adacof_warp_tm_sharded(
+                jnp.concatenate([frame0, frame2], axis=0),
+                w_cat, a_cat, b_cat, self.dilation, self.spatial_mesh,
+                self.batch_axis, self.spatial_axis, max_offset=r_sh,
+            )
+        else:
+            xs = jnp.concatenate(
+                [pad_replicate(frame0, kp), pad_replicate(frame2, kp)], axis=0
+            )
+            wboth = self._warp(xs, w_cat, a_cat, b_cat)
         warped0, warped2 = jnp.split(wboth, 2, axis=0)
         blended = occ * warped0 + (1.0 - occ) * warped2
 

@@ -142,7 +142,10 @@ def adacof_spatial_trainer(
     exchanges and gathers the warp's source rows across the spatial axis."""
     from ..train.trainer import make_adacof_trainer
 
-    state, step = make_adacof_trainer(rng, h, w, use_pallas=False, **kw)
+    state, step = make_adacof_trainer(
+        rng, h, w, use_pallas=False, spatial_mesh=mesh,
+        batch_axis=batch_axis, spatial_axis=spatial_axis, **kw
+    )
     rep = NamedSharding(mesh, P())
     sh = data_spatial_sharding(mesh, batch_axis, spatial_axis)
     jstep = jax.jit(
@@ -157,3 +160,87 @@ def adacof_spatial_trainer(
         return jstep(st, batch)
 
     return state, wrapper
+
+def adacof_warp_tm_sharded(
+    x,
+    w_tm,
+    a_tm,
+    b_tm,
+    dilation: int,
+    mesh: Mesh,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+    max_offset: int = 48,
+):
+    """Height-sharded AdaCoF warp with explicit halo exchange: each device
+    ppermutes its boundary rows with the spatial neighbours, then runs the
+    best single-device warp (the Pallas kernel on TPU — a single-device
+    program XLA's SPMD partitioner cannot use — or the clipped XLA-gather
+    warp elsewhere) on its local halo-padded block.  Replaces the
+    auto-partitioned gather warp on 2-D (data x spatial) meshes, whose
+    source-row gathers SPMD serves with cross-device full-frame gathers.
+
+    Unlike ops.adacof_pallas.adacof_warp_fast_tm this takes the UNPADDED
+    frame `x` (B, H, W, C): the kp = ((F-1)*dilation)//2 replicate padding
+    is produced locally (edge shards replicate their own border rows, which
+    is exactly what global replicate-padding plus index clamping yields).
+    Fields are tap-major (F2, B, H, W); H and B must divide by the mesh's
+    spatial/batch sizes.  Same clamp/gradient contract as
+    adacof_warp_fast_tm (offsets clipped to +-max_offset, dx == 0).
+    Returns (B, H, W, C), (batch x spatial)-sharded.
+    """
+    import math
+
+    from ..ops.adacof_pallas import adacof_warp_fast_tm
+
+    F = int(math.isqrt(w_tm.shape[0]))
+    kp = ((F - 1) * dilation) // 2
+    n_sp = mesh.shape[spatial_axis]
+    # halo covers the largest vertical reach of any tap: clipped offset
+    # (max_offset) + tap displacement relative to the centre (kp) + the
+    # bilinear +1 row, so the local warp never clamps except where the
+    # unsharded warp would clamp at the global border
+    halo = max_offset + kp + 1
+    h_loc = w_tm.shape[2] // n_sp
+    if w_tm.shape[2] % n_sp or h_loc < halo:
+        raise ValueError(
+            f"H={w_tm.shape[2]} over {n_sp} spatial shards gives local "
+            f"blocks of {h_loc} rows < halo {halo} (single-neighbour "
+            f"exchange); lower max_offset (<= {h_loc - kp - 1}) or use "
+            "fewer spatial shards"
+        )
+    pad_t = halo - kp  # zero-rows around the field shard (wasted rows)
+
+    def local(xb, wb, ab, bb):
+        idx = jax.lax.axis_index(spatial_axis)
+        fwd = [(i, i + 1) for i in range(n_sp - 1)]
+        bwd = [(i + 1, i) for i in range(n_sp - 1)]
+        recv_top = jax.lax.ppermute(xb[:, -halo:], spatial_axis, fwd)
+        recv_bot = jax.lax.ppermute(xb[:, :halo], spatial_axis, bwd)
+        top = jnp.where(idx == 0, jnp.repeat(xb[:, :1], halo, axis=1), recv_top)
+        bot = jnp.where(
+            idx == n_sp - 1, jnp.repeat(xb[:, -1:], halo, axis=1), recv_bot
+        )
+        xl = jnp.concatenate([top, xb, bot], axis=1)
+        xl = jnp.pad(xl, ((0, 0), (0, 0), (kp, kp), (0, 0)), mode="edge")
+
+        fpad = ((0, 0), (0, 0), (pad_t, pad_t), (0, 0))
+        out = adacof_warp_fast_tm(
+            xl,
+            jnp.pad(wb, fpad),
+            jnp.pad(ab, fpad),
+            jnp.pad(bb, fpad),
+            dilation,
+            max_offset=max_offset,
+        )
+        return out[:, pad_t : pad_t + wb.shape[2]]
+
+    img = P(batch_axis, spatial_axis, None, None)
+    fld = P(None, batch_axis, spatial_axis, None)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(img, fld, fld, fld),
+        out_specs=img,
+        check_vma=False,
+    )(x, w_tm, a_tm, b_tm)

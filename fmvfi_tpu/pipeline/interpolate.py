@@ -326,8 +326,15 @@ def fusion_interpolate(
         kernel_size=kernel_size,
         dilation=dilation,
         dtype=compute_dtype,
+        # under a spatial mesh the warp goes through the halo-exchange
+        # shard_map (per-device fast kernel); the SPMD gather warp is the
+        # fallback when shapes don't shard (use_pallas=False: the plain
+        # Pallas kernel is a single-device program)
         use_pallas=False if spatial_mesh is not None else None,
         with_stats=uncertainty_maps != 0,
+        spatial_mesh=spatial_mesh,
+        batch_axis=batch_axis,
+        spatial_axis=spatial_axis,
     )
 
     # 1. AdaCoF
@@ -384,10 +391,13 @@ def fusion_interpolate(
         kernel_size=kernel_size,
         dilation=dilation,
         dtype=compute_dtype,
-        # same single-device-kernel rule as the main pass: the Pallas warp
-        # cannot partition under a spatial mesh
+        # same warp routing as the main pass (halo-exchange shard_map under
+        # a spatial mesh, SPMD gather fallback)
         use_pallas=False if spatial_mesh is not None else None,
         with_stats=False,
+        spatial_mesh=spatial_mesh,
+        batch_axis=batch_axis,
+        spatial_axis=spatial_axis,
     )
     lhs = jnp.concatenate([frame1, phase_pred], axis=0)
     rhs = jnp.concatenate([phase_pred, frame2], axis=0)

@@ -215,6 +215,9 @@ def make_adacof_trainer(
     vgg_checkpoint: str = "",
     grad_clip: float = 1.0,
     use_pallas: Optional[bool] = None,
+    spatial_mesh=None,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
 ):
     """AdaCoF training (config of the published checkpoints: Vimeo90k,
     ADAMax lr 1e-3, loss 1*Charb+0.01*g_Spatial+0.005*g_Occlusion).
@@ -238,9 +241,13 @@ def make_adacof_trainer(
 
     spec = loss_spec or parse_loss_spec("1*Charb+0.01*g_Spatial+0.005*g_Occlusion")
     # use_pallas=False for spatially-sharded training (the Pallas warp is a
-    # single-device program; parallel.spatial.adacof_spatial_trainer sets it)
+    # single-device program; parallel.spatial.adacof_spatial_trainer sets it
+    # together with spatial_mesh, which routes the warp through the
+    # halo-exchange shard_map instead of the SPMD gather)
     model = AdaCoFNet(
-        kernel_size=kernel_size, dilation=dilation, use_pallas=use_pallas
+        kernel_size=kernel_size, dilation=dilation, use_pallas=use_pallas,
+        spatial_mesh=spatial_mesh, batch_axis=batch_axis,
+        spatial_axis=spatial_axis,
     )
     schedule = (
         optax.exponential_decay(

@@ -342,3 +342,85 @@ def test_adacof_spatial_train_step_matches_single_device():
         jax.tree_util.tree_leaves(ref_state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_halo_exchange_warp_matches_single_device():
+    """adacof_warp_tm_sharded (explicit ppermute halo exchange + per-device
+    fast warp) must be bit-equal to the single-device clipped warp — forward
+    AND field gradients — including global-border clamping and offsets
+    beyond the clamp."""
+    from fmvfi_tpu.ops.adacof import pad_replicate
+    from fmvfi_tpu.ops.adacof_pallas import adacof_warp_fast_tm
+    from fmvfi_tpu.parallel.spatial import adacof_warp_tm_sharded
+
+    F, d = 5, 1
+    kp = ((F - 1) * d) // 2
+    B, H, W, C = 4, 32, 24, 3
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.random((B, H, W, C), dtype=np.float32))
+    fld = lambda s: jnp.asarray(r.normal(0, s, (F * F, B, H, W)).astype(np.float32))
+    w = jax.nn.softmax(fld(1.0), axis=0)
+    a, b = fld(9.0), fld(9.0)  # tails beyond R=5 exercise clamp parity
+
+    for shape, R in [((4, 2), 12), ((2, 4), 5)]:
+        mesh = make_mesh(8, ("data", "spatial"), shape)
+        ref = adacof_warp_fast_tm(pad_replicate(x, kp), w, a, b, d, max_offset=R)
+        got = adacof_warp_tm_sharded(x, w, a, b, d, mesh, max_offset=R)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    g_sh = jax.grad(
+        lambda *f: jnp.sum(
+            adacof_warp_tm_sharded(x, *f, d, mesh, max_offset=12) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(w, a, b)
+    g_rf = jax.grad(
+        lambda *f: jnp.sum(
+            adacof_warp_fast_tm(pad_replicate(x, kp), *f, d, max_offset=12) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(w, a, b)
+    for gs, gr in zip(g_sh, g_rf):
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(gr))
+
+    with pytest.raises(ValueError):  # halo > local shard height
+        adacof_warp_tm_sharded(x, w, a, b, d, make_mesh(8, ("data", "spatial"), (2, 4)), max_offset=12)
+
+
+def test_adacof_model_routes_sharded_warp():
+    """Under a 2-D mesh AdaCoFNet routes the warp through the halo-exchange
+    shard_map (H large enough) and matches the single-device model."""
+    from fmvfi_tpu.models.adacof import AdaCoFNet
+    from fmvfi_tpu.parallel.spatial import data_spatial_sharding
+
+    mesh = make_mesh(8, ("data", "spatial"), (4, 2))
+    rng = np.random.default_rng(5)
+    f1 = jnp.asarray(rng.uniform(0, 1, (4, 64, 32, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(0, 1, (4, 64, 32, 3)).astype(np.float32))
+    single = AdaCoFNet(kernel_size=5)
+    variables = single.init(jax.random.key(0), f1, f2)
+    assert (
+        AdaCoFNet(
+            kernel_size=5, spatial_mesh=mesh
+        )._sharded_max_offset(64, 8)
+        >= 8
+    ), "test shapes must actually engage the sharded route"
+
+    ref = jax.jit(lambda v, a, b: single.apply(v, a, b).blended)(
+        variables, f1, f2
+    )
+    meshed = AdaCoFNet(kernel_size=5, use_pallas=False, spatial_mesh=mesh)
+    sh = data_spatial_sharding(mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    got = jax.jit(
+        lambda v, a, b: meshed.apply(v, a, b).blended,
+        in_shardings=(rep, sh, sh),
+        out_shardings=sh,
+    )(
+        jax.device_put(variables, rep),
+        jax.device_put(f1, sh),
+        jax.device_put(f2, sh),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    assert len(got.sharding.device_set) == 8
