@@ -20,6 +20,12 @@ file.
 Format (.npz): `__stablehlo__` (uint8 program bytes), `__meta__` (JSON:
 method/shape/arg count), `arg_000...` (the flattened weight+filter leaves,
 in call order).
+
+Caveat: the AdaCoF warp dispatches per-backend at TRACE time (Pallas kernel
+on TPU, clipped XLA gather elsewhere), so an artifact exported from a CPU
+host bakes the XLA-gather warp for every platform — numerically identical,
+slower on TPU.  Export ON the TPU (or pass platforms=("tpu",)) from a TPU
+process to bake the Pallas kernel.
 """
 
 from __future__ import annotations

@@ -78,3 +78,18 @@ def test_export_bytes_loadable_without_path(weights, frames):
     fn = load_exported(blob)  # raw bytes, no file
     out = np.asarray(fn(f1, f2))
     assert np.isfinite(out).all()
+
+
+def test_export_multi_platform(weights, frames):
+    """A (cpu, tpu) artifact can be built on a CPU host (AOT lowering needs
+    no device) and still calls correctly on the build host."""
+    f1, f2 = frames
+    blob = export_pipeline(
+        weights, H, W, "phase", platforms=("cpu", "tpu")
+    )
+    fn = load_exported(blob)
+    assert sorted(fn.meta["platforms"]) == ["cpu", "tpu"]
+    want = phase_interpolate(weights.phase_net, f1, f2)
+    np.testing.assert_allclose(
+        np.asarray(fn(f1, f2)), np.asarray(want), atol=2e-5
+    )
