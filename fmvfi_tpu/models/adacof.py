@@ -327,16 +327,23 @@ class AdaCoFNet(nn.Module):
     """Full AdaCoF model: pads, estimates kernels, warps, blends.
 
     use_pallas: None = auto (Pallas warp kernel on TPU, XLA-gather elsewhere);
-    True/False forces.  The Pallas path clamps offsets to +-max_offset (48,
-    beyond any motion in the training diet / eval suite) with the true clip
-    gradient (zero at saturation) — see ops/adacof_pallas.py."""
+    True/False forces.  The Pallas path clamps offsets to +-max_offset
+    (default 48, beyond any motion in the training diet / eval suite) with
+    the true clip gradient (zero at saturation) — see ops/adacof_pallas.py.
+    The halo-exchange sharded warp uses the SAME clamp; when a spatial
+    shard is too short to host that halo it falls back to the exact SPMD
+    gather instead of silently tightening the clamp."""
 
     kernel_size: int = 5
     dilation: int = 1
+    max_offset: int = 48  # fast-path offset clamp (single-device AND sharded)
     use_pallas: bool | None = None
     dtype: object = None  # compute dtype for the kernel-estimation U-Net
     with_stats: bool = True  # flow mean/var + uncertainty (skip for the
     # baseline composite passes that only consume .blended)
+    stats_batch: int | None = None  # compute the stats tail only for the
+    # first N batch entries (the streaming path batches a stats-free pass
+    # behind the main pair; None = whole batch)
     spatial_mesh: object = None  # 2-D (data x spatial) Mesh: route the warp
     # through the halo-exchange shard_map (parallel/spatial.py) so each
     # device runs the fast single-device kernel on its H-shard instead of
@@ -345,16 +352,25 @@ class AdaCoFNet(nn.Module):
     spatial_axis: str = "spatial"
 
     def _sharded_max_offset(self, h: int, b2: int) -> int:
-        """Offset clamp for the halo-exchange warp, or 0 if the shapes
-        don't shard (fall back to the SPMD gather warp)."""
+        """Offset clamp for the halo-exchange warp, or 0 if the halo path
+        can't reproduce the single-device fast path exactly (fall back to
+        the exact SPMD gather warp).
+
+        The returned clamp is always the single-device fast-path clamp
+        min(max_offset, lane-fit): a shard too short to host that halo
+        falls back to the gather rather than silently tightening the clamp
+        (which would make sharded outputs/gradients diverge from the
+        single-device model for large motion)."""
         n_sp = self.spatial_mesh.shape[self.spatial_axis]
         n_b = self.spatial_mesh.shape[self.batch_axis]
         if h % n_sp or b2 % n_b:
             return 0
         kp = ((self.kernel_size - 1) * self.dilation) // 2
         fit = (126 - (self.kernel_size - 1) * self.dilation) // 2
-        r = min(48, fit, h // n_sp - kp - 1)
-        return r if r >= 8 else 0
+        r = min(self.max_offset, fit)
+        if fit < 24 or h // n_sp - kp - 1 < r:
+            return 0
+        return r
 
     def _warp(self, x, w_tm, a_tm, b_tm):
         """Warp with TAP-MAJOR fields (K, B, H, W)."""
@@ -372,7 +388,7 @@ class AdaCoFNet(nn.Module):
 
                 return adacof_warp_fast_tm(
                     x, w_tm, a_tm, b_tm, self.dilation,
-                    max_offset=min(48, fit),
+                    max_offset=min(self.max_offset, fit),
                 )
             # else: fall through to the exact unclamped XLA path
         to_nhwc = lambda f: jnp.transpose(f, (1, 2, 3, 0))
@@ -423,8 +439,9 @@ class AdaCoFNet(nn.Module):
         blended = occ * warped0 + (1.0 - occ) * warped2
 
         if self.with_stats:
-            mean1, var1 = flow_stats_tm(w1, a1, b1)
-            mean2, var2 = flow_stats_tm(w2, a2, b2)
+            sl = (slice(None), slice(None, self.stats_batch))
+            mean1, var1 = flow_stats_tm(w1[sl], a1[sl], b1[sl])
+            mean2, var2 = flow_stats_tm(w2[sl], a2[sl], b2[sl])
             # UncertaintyMask (fusion_adacofnet.py:211-213): max of summed
             # variance components, clipped to [0, 20], scaled to [0,1]; detached.
             unc = jnp.maximum(var1.sum(-1), var2.sum(-1))

@@ -559,6 +559,9 @@ def fusion_stream_step(
         dilation=dilation,
         dtype=compute_dtype,
         with_stats=uncertainty_maps != 0,
+        # the pass-3 half batched behind the main pair only consumes
+        # .blended — don't run the flow-stats/uncertainty tail for it
+        stats_batch=b if uncertainty_maps else None,
     )
     pm1, pm2 = jnp.split(carry.mids, 2, axis=0)
     out2 = adacof.apply(
@@ -568,7 +571,7 @@ def fusion_stream_step(
     )
     ada_pred, base_prev = jnp.split(out2.blended, 2, axis=0)
     if uncertainty_maps:
-        flow_var_map = jnp.split(out2.uncertainty[..., 0], 2, axis=0)[0]
+        flow_var_map = out2.uncertainty[..., 0]
 
     # PhaseNet: cached dec2 + fresh dec3
     dec_pred = _phase_net_from_vals(

@@ -145,17 +145,29 @@ def fit(
     it = iter(batches)
     step = int(np.asarray(state.step)) if hasattr(state, "step") else 0
 
+    # resume mid-schedule: replay the epoch structure so epoch numbering,
+    # the in-epoch counter n, and the per-epoch m schedule (the reference
+    # increments on batch_idx, which RESETS each epoch — trainer.py:162)
+    # land exactly where an uninterrupted run would be at the restored step
+    if step and steps_per_epoch:
+        start_epoch, resume_n = divmod(step, steps_per_epoch)
+    else:
+        start_epoch, resume_n = 0, 0
+
     m = m_init
     if make_step is not None and m is not None:
-        # resume-aware: advance m to where an uninterrupted run would be at
-        # the restored step, instead of restarting the exchange schedule
         if step:
-            m = min(m_max, m_init + step // m_update)
+            if steps_per_epoch:
+                per_epoch = steps_per_epoch // m_update
+                inc = start_epoch * per_epoch + resume_n // m_update
+            else:
+                inc = step // m_update  # single continuous pass
+            m = min(m_max, m_init + inc)
         step_fn = make_step(m)
     fn = jax.jit(_wrap(step_fn)) if jit else _wrap(step_fn)
 
-    for epoch in range(epochs):
-        n = 0
+    for epoch in range(start_epoch, epochs):
+        n = resume_n if epoch == start_epoch else 0
         while steps_per_epoch is None or n < steps_per_epoch:
             try:
                 batch = next(it)

@@ -92,11 +92,20 @@ def export_pipeline(
 
     from ..ops.pyramid import make_filters, max_pyr_height
 
-    filters = (
-        jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
-        if method in ("fusion", "phase")
-        else None
-    )
+    if method == "fusion":
+        # fusion_interpolate reflect-pads off-/8 inputs internally, so its
+        # filter bank must be built at the PADDED resolution (same rule as
+        # pipeline/video._interp_fn)
+        fh, fw = h + (-h) % 8, w + (-w) % 8
+        filters = jax.tree.map(
+            jnp.asarray, make_filters(fh, fw, max_pyr_height(fh, fw))
+        )
+    elif method == "phase":
+        filters = jax.tree.map(
+            jnp.asarray, make_filters(h, w, max_pyr_height(h, w))
+        )
+    else:
+        filters = None
     leaves, treedef = jax.tree.flatten((weights, filters))
     leaves = [jnp.asarray(x) for x in leaves]
     fn = _pipeline_fn(

@@ -72,6 +72,22 @@ def test_export_roundtrip_matches_live(tmp_path, weights, frames, method):
     assert got.shape == (1, H, W, 3)
 
 
+def test_export_fusion_off_grid(weights):
+    """Off-/8 sizes export too: fusion_interpolate reflect-pads internally,
+    so the export must build its filter bank at the PADDED resolution (the
+    same rule as pipeline/video._interp_fn — a filter bank at the native
+    size crashes at trace time)."""
+    h, w = 60, 44
+    r = np.random.default_rng(9)
+    f1 = jnp.asarray(r.random((1, h, w, 3), dtype=np.float32))
+    f2 = jnp.asarray(r.random((1, h, w, 3), dtype=np.float32))
+    fn = load_exported(export_pipeline(weights, h, w, "fusion"))
+    got = np.asarray(fn(f1, f2))
+    want = fusion_interpolate(weights, f1, f2)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+    assert got.shape == (1, h, w, 3)
+
+
 def test_export_bytes_loadable_without_path(weights, frames):
     f1, f2 = frames
     blob = export_pipeline(weights, H, W, "adacof")

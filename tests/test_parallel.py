@@ -400,17 +400,26 @@ def test_adacof_model_routes_sharded_warp():
     f2 = jnp.asarray(rng.uniform(0, 1, (4, 64, 32, 3)).astype(np.float32))
     single = AdaCoFNet(kernel_size=5)
     variables = single.init(jax.random.key(0), f1, f2)
+    # 32-row shards can't host the default 48-px halo; request a clamp they
+    # can (the sharded path must use the SAME clamp as single-device, never
+    # a silently tightened one)
     assert (
         AdaCoFNet(
-            kernel_size=5, spatial_mesh=mesh
+            kernel_size=5, spatial_mesh=mesh, max_offset=24
         )._sharded_max_offset(64, 8)
-        >= 8
+        == 24
     ), "test shapes must actually engage the sharded route"
+    assert (
+        AdaCoFNet(kernel_size=5, spatial_mesh=mesh)._sharded_max_offset(64, 8)
+        == 0
+    ), "default 48-px clamp must fall back to the gather on 32-row shards"
 
     ref = jax.jit(lambda v, a, b: single.apply(v, a, b).blended)(
         variables, f1, f2
     )
-    meshed = AdaCoFNet(kernel_size=5, use_pallas=False, spatial_mesh=mesh)
+    meshed = AdaCoFNet(
+        kernel_size=5, use_pallas=False, spatial_mesh=mesh, max_offset=24
+    )
     sh = data_spatial_sharding(mesh)
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     got = jax.jit(

@@ -170,7 +170,7 @@ class _S(NamedTuple):
 
 
 def _schedule_harness(tmp_path, initial_step, n_batches, m_init, m_update,
-                      m_max):
+                      m_max, epochs=1, steps_per_epoch=None):
     """Run fit() with an m-schedule + wrap_step; return the m each (re)build
     passed through the wrapper."""
     from fmvfi_tpu.train.loop import fit
@@ -191,7 +191,7 @@ def _schedule_harness(tmp_path, initial_step, n_batches, m_init, m_update,
     batches = [(np.zeros(1),)] * n_batches
     fit(
         _S(np.int64(initial_step)), None, iter(batches), str(tmp_path),
-        epochs=1,
+        epochs=epochs, steps_per_epoch=steps_per_epoch,
         jit=False, make_step=make_step, m_init=m_init, m_update=m_update,
         m_max=m_max, wrap_step=wrap, log_every=1000, ckpt_every=10**9,
         resume=False,
@@ -212,3 +212,17 @@ def test_fit_m_resumes_at_restored_step(tmp_path):
     restored step instead of restarting the exchange schedule."""
     ms = _schedule_harness(tmp_path / "b", 4, 2, m_init=1, m_update=2, m_max=9)
     assert ms[0] == 3  # 1 + 4 // 2
+
+
+def test_fit_m_resume_matches_uninterrupted_epoch_schedule(tmp_path):
+    """m increments on the PER-EPOCH counter (the reference's batch_idx
+    resets each epoch, trainer.py:162), so a resume must replay the epoch
+    structure — a global-step formula diverges whenever
+    steps_per_epoch % m_update != 0."""
+    kw = dict(m_init=1, m_update=2, m_max=9, epochs=3, steps_per_epoch=3)
+    full = _schedule_harness(tmp_path / "full", 0, 9, **kw)
+    assert full == [1, 2, 3, 4]  # one increment per 3-step epoch (at n==2)
+    # resume at step 4 = epoch 1, n 1: an uninterrupted run is at m=2 there
+    # (the old global formula said 1 + 4//2 = 3)
+    resumed = _schedule_harness(tmp_path / "res", 4, 5, **kw)
+    assert resumed == [2, 3, 4]

@@ -4,6 +4,7 @@
 # supervisor against the frozen stage-A AdaCoF, warm-started from the
 # converted published fusion_net.pt.  Survives the interactive session.
 set -u
+cd /root/repo
 OUT=runs/demo_stack
 A_PID=$(cat /tmp/stage_a.pid 2>/dev/null || echo "")
 if [ -n "$A_PID" ]; then

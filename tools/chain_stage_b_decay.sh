@@ -20,6 +20,13 @@ if [ -n "$LEG1_PID" ]; then
   echo "[chain2] waiting for leg-1 supervisor (pid $LEG1_PID)"
   while kill -0 "$LEG1_PID" 2>/dev/null; do sleep 60; done
 fi
+# the decay legs only make sense as CONTINUATIONS: without a leg-1
+# TrainState they would train a randomly-initialized FusionNet at a
+# far-too-low lr and feed garbage into the unattended eval/promotion
+if [ ! -f "$OUT/state_b_latest.msgpack" ]; then
+  echo "[chain2] no leg-1 TrainState ($OUT/state_b_latest.msgpack); aborting" >&2
+  exit 1
+fi
 echo "[chain2] leg 1 done; leg 2 (-> 30000 steps @ lr 2e-5)"
 tools/supervise_stage.sh b 30000 "$OUT" \
   --adacof_init "$OUT/adacof_best.msgpack" \
