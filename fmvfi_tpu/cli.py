@@ -201,6 +201,9 @@ def cmd_video(argv):
     p = argparse.ArgumentParser(prog="video")
     p.add_argument("--input", required=True, help="video file or frame directory")
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--batch", type=int, default=1,
+                   help="pairs per device dispatch (>1 = offline-throughput "
+                        "mode; 1 = streaming/latency mode)")
     _common(p)
     args = p.parse_args(argv)
 
@@ -211,7 +214,8 @@ def cmd_video(argv):
     h, w = frames.shape[1:3]
     weights = _load_weights(args, h, w)
     out = list(double_frame_rate(frames, weights, args.method,
-                                 args.fusion_variant, args.fusion_maps))
+                                 args.fusion_variant, args.fusion_maps,
+                                 batch=args.batch))
     write_frame_dir(args.output_dir, out)
     print(f"wrote {len(out)} frames to {args.output_dir}")
 

@@ -108,6 +108,7 @@ def _interp_fn(weights, h: int, w: int, method: str,
 def double_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, stream: bool = True,
+    batch: int = 1,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
 
@@ -119,11 +120,21 @@ def double_frame_rate(
     color-converted + pyramid-decomposed once, and the baseline pass-3
     U-Net of pair i batches with the main AdaCoF pass of pair i+1 —
     identical math (tests/test_pipeline.py pins stream == per-pair), fewer
-    device passes per frame.  `stream=False` forces the per-pair path."""
+    device passes per frame.  `stream=False` forces the per-pair path.
+
+    `batch` > 1 interpolates that many CONSECUTIVE pairs per device
+    dispatch (offline-throughput mode: bigger batches fill the MXU better
+    than the latency-oriented stream; the ragged tail is padded to keep one
+    compiled executable).  Overrides `stream`."""
     n, h, w, _ = frames.shape
     if n < 2:  # nothing to interpolate between
         for f in frames:
             yield f
+        return
+    if batch > 1:
+        yield from _double_frame_rate_batched(
+            frames, weights, method, variant, uncertainty_maps, batch
+        )
         return
     if method == "fusion" and stream:
         yield from _double_frame_rate_stream(
@@ -144,6 +155,41 @@ def double_frame_rate(
     orig, dev = pending
     yield orig
     yield np.asarray(dev)[0]
+    yield frames[-1]
+
+
+def _double_frame_rate_batched(
+    frames: np.ndarray, weights: FusionWeights, method: str,
+    variant: int, uncertainty_maps: int, batch: int,
+) -> Iterator[np.ndarray]:
+    """Offline-throughput body of double_frame_rate: `batch` consecutive
+    pairs per device dispatch, one-deep prefetch, ragged tail padded with
+    the last pair (padding results discarded) so every dispatch reuses the
+    same compiled executable."""
+    n, h, w, _ = frames.shape
+    fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
+    n_pairs = n - 1
+    pending = None  # (valid pair indices, device result)
+    for s in range(0, n_pairs, batch):
+        idx = np.arange(s, min(s + batch, n_pairs))
+        valid = idx
+        if len(idx) < batch:  # pad the tail to the compiled batch shape
+            idx = np.concatenate(
+                [idx, np.full(batch - len(idx), n_pairs - 1, dtype=idx.dtype)]
+            )
+        result = fn(jnp.asarray(frames[idx]), jnp.asarray(frames[idx + 1]))
+        if pending is not None:
+            p_valid, dev = pending
+            out = np.asarray(dev)
+            for k, i in enumerate(p_valid):
+                yield frames[i]
+                yield out[k]
+        pending = (valid, result)
+    p_valid, dev = pending
+    out = np.asarray(dev)
+    for k, i in enumerate(p_valid):
+        yield frames[i]
+        yield out[k]
     yield frames[-1]
 
 

@@ -229,6 +229,13 @@ def test_double_frame_rate_and_suite(tmp_path):
     np.testing.assert_allclose(out[0], frames[0])
     np.testing.assert_allclose(out[-1], frames[-1])
 
+    # offline-throughput mode: batch=2 over 3 pairs (ragged tail padded)
+    # must emit the identical sequence
+    batched = list(double_frame_rate(frames, weights, "adacof", batch=2))
+    assert len(batched) == len(out)
+    for i, (x, y) in enumerate(zip(batched, out)):
+        np.testing.assert_allclose(x, y, atol=1e-6, err_msg=f"frame {i}")
+
     sets = {"tiny": frames}
     s1 = evaluate_suite(
         weights, str(tmp_path), sets=sets, methods=("adacof",), dim=hw,
