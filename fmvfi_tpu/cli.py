@@ -204,18 +204,21 @@ def cmd_video(argv):
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per device dispatch (>1 = offline-throughput "
                         "mode; 1 = streaming/latency mode)")
+    p.add_argument("--factor", type=int, default=2,
+                   help="rate multiplier (power of two; >2 = recursive "
+                        "midpoint doubling)")
     _common(p)
     args = p.parse_args(argv)
 
     from .eval.evaluate import load_set
-    from .pipeline.video import double_frame_rate, write_frame_dir
+    from .pipeline.video import multiply_frame_rate, write_frame_dir
 
     frames = load_set(args.input)
     h, w = frames.shape[1:3]
     weights = _load_weights(args, h, w)
-    out = list(double_frame_rate(frames, weights, args.method,
-                                 args.fusion_variant, args.fusion_maps,
-                                 batch=args.batch))
+    out = list(multiply_frame_rate(frames, weights, args.method,
+                                   args.fusion_variant, args.fusion_maps,
+                                   factor=args.factor, batch=args.batch))
     write_frame_dir(args.output_dir, out)
     print(f"wrote {len(out)} frames to {args.output_dir}")
 

@@ -236,6 +236,19 @@ def test_double_frame_rate_and_suite(tmp_path):
     for i, (x, y) in enumerate(zip(batched, out)):
         np.testing.assert_allclose(x, y, atol=1e-6, err_msg=f"frame {i}")
 
+    # 4x rate = recursive doubling: 4N-3 frames, originals at ::4, and the
+    # even positions are exactly the 2x sequence
+    from fmvfi_tpu.pipeline.video import multiply_frame_rate
+
+    quad = list(multiply_frame_rate(frames, weights, "adacof", factor=4))
+    assert len(quad) == 4 * len(frames) - 3
+    for i, f in enumerate(frames):
+        np.testing.assert_allclose(quad[4 * i], f)
+    for i, f in enumerate(out):
+        np.testing.assert_allclose(quad[2 * i], f, atol=1e-6)
+    with pytest.raises(ValueError):
+        next(multiply_frame_rate(frames, weights, "adacof", factor=3))
+
     sets = {"tiny": frames}
     s1 = evaluate_suite(
         weights, str(tmp_path), sets=sets, methods=("adacof",), dim=hw,
