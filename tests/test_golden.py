@@ -98,3 +98,30 @@ def test_golden_phase_nonsquare_96x160():
     # recorded 2026-08-17 (round 3, corrected filter-bank origin: +3.0 dB over
     # the round-2 value with identical weights); frame-average is 16.57 dB
     assert abs(_psnr(pred, mid) - 27.408) < 0.05
+
+
+@needs_ckpts
+@pytest.mark.slow
+def test_bf16_pipeline_quality_guard(weights):
+    """bench.py's headline number runs the conv nets in bfloat16
+    (--dtype bf16).  Guard that honesty: the bf16 pipeline must stay close
+    to the fp32 pipeline (>=35 dB agreement) and lose <0.35 dB PSNR-to-GT
+    on the golden translation scene."""
+    from fmvfi_tpu.eval.synth import translation_triplet
+    from fmvfi_tpu.pipeline.interpolate import fusion_interpolate
+
+    f1, mid, f2 = translation_triplet(128, 128, dx=2.0, dy=1.0, seed=0)
+    a, b = jnp.asarray(f1[None]), jnp.asarray(f2[None])
+
+    fp32 = np.asarray(
+        jax.jit(lambda a, b: fusion_interpolate(weights, a, b))(a, b)
+    )[0]
+    bf16 = np.asarray(
+        jax.jit(
+            lambda a, b: fusion_interpolate(
+                weights, a, b, compute_dtype=jnp.bfloat16
+            )
+        )(a, b)
+    )[0]
+    assert _psnr(bf16, fp32) >= 35.0
+    assert _psnr(fp32, mid) - _psnr(bf16, mid) < 0.35
