@@ -227,7 +227,9 @@ def cmd_evaluate(argv):
     p = argparse.ArgumentParser(prog="evaluate")
     p.add_argument("--out_dir", default="./results")
     p.add_argument("--test_sets", default="synthetic",
-                   help="'synthetic', comma-separated video/frame-dir paths, "
+                   help="'synthetic', 'synthetic+photo' (adds a real-"
+                        "photograph motion set with exact GT), "
+                        "comma-separated video/frame-dir paths, "
                         "or adapter specs like middlebury:<in>:<gt>, "
                         "davis:<in>:<gt>, ucf101:<dir>, vimeo:<root>, "
                         "middlebury_eval:<dir> (scored per scene like "
@@ -261,15 +263,18 @@ def cmd_evaluate(argv):
 
     adapters = {a + ":" for a in
                 ("middlebury", "middlebury_eval", "davis", "ucf101", "vimeo")}
-    specs = [] if args.test_sets == "synthetic" else args.test_sets.split(",")
+    synth_mode = args.test_sets in ("synthetic", "synthetic+photo")
+    specs = [] if synth_mode else args.test_sets.split(",")
     paired = [s for s in specs if any(s.startswith(a) for a in adapters)]
     plain = [s for s in specs if s not in paired]
 
     weights = _load_weights(args, args.dim, args.dim)
     summary = {}
-    if args.test_sets == "synthetic" or plain:
-        if args.test_sets == "synthetic":
-            sets = synthetic_sets(args.dim)
+    if synth_mode or plain:
+        if synth_mode:
+            sets = synthetic_sets(
+                args.dim, include_photo=args.test_sets.endswith("+photo")
+            )
         else:
             sets = {s.split("/")[-1]: load_set(s) for s in plain}
         summary = evaluate_suite(

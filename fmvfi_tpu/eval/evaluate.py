@@ -97,12 +97,16 @@ def evaluate_frames(
     return result
 
 
-def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
+def synthetic_sets(
+    dim: int = 512, n_frames: int = 6, include_photo: bool = False
+) -> Dict[str, np.ndarray]:
     """Stand-ins for the LFS-absent Testset clips, one set per motion regime
     (translation / large motion / rotation / zoom / occlusion / brightness —
     the regimes the fusion architecture is motivated by) plus the legacy
-    step-translation sets."""
-    from .synth import benchmark_sets
+    step-translation sets.  `include_photo` adds a real-photograph motion
+    set (natural image statistics) as extra evidence; it is opt-in so the
+    historical 8-set dominance criterion keeps its meaning."""
+    from .synth import benchmark_sets, photo_video
 
     sets = benchmark_sets(dim, min(n_frames, 4))
     sets.update(
@@ -113,6 +117,8 @@ def synthetic_sets(dim: int = 512, n_frames: int = 6) -> Dict[str, np.ndarray]:
             for s in (1, 10)
         }
     )
+    if include_photo:
+        sets["photo"] = photo_video(min(n_frames, 4), dim, dim)
     return sets
 
 

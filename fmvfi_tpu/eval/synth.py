@@ -9,6 +9,8 @@ the two methods trade off on (large diffuse motion vs. sharp detail).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -201,6 +203,46 @@ def large_motion_video(
     """Translation far beyond AdaCoF's reach (kernel_size*dilation taps ~ a
     few px): PhaseNet's coarse pyramid levels still lock on."""
     return translation_video(n_frames, h, w, step=step, seed=seed)
+
+
+def photo_video(
+    n_frames: int, h: int = 512, w: int = 512, step: float = 3.0,
+    deg_per_frame: float = 0.3, seed: int = 11,
+):
+    """Real-photograph motion with exact ground truth: the matplotlib-bundled
+    Grace Hopper portrait (natural image statistics — edges, smooth skin
+    regions, text on books — unlike the value-noise textures) under a rigid
+    translation+rotation, sampled with the same bilinear warp as the texture
+    regimes.  Complements, not replaces, the six texture regimes (the
+    dominance criterion stays on those)."""
+    import matplotlib
+    from PIL import Image
+
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__),
+        "mpl-data/sample_data/grace_hopper.jpg",
+    )
+    margin = int(np.ceil(abs(step) * n_frames + 0.02 * max(h, w))) + 2
+    src = np.asarray(
+        Image.open(path).resize(
+            (w + 2 * margin, h + 2 * margin), Image.LANCZOS
+        ),
+        dtype=np.float32,
+    ) / 255.0
+    rng = np.random.default_rng(seed)
+    angle0 = rng.uniform(0, 2 * np.pi)
+    dy, dx = np.sin(angle0) * step, np.cos(angle0) * step
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    yy, xx = _warp_grid(h, w)
+    frames = []
+    for i in range(n_frames):
+        a = np.deg2rad(deg_per_frame * i)
+        ys = cy + (yy - cy) * np.cos(a) - (xx - cx) * np.sin(a) + dy * i
+        xs = cx + (yy - cy) * np.sin(a) + (xx - cx) * np.cos(a) + dx * i
+        frames.append(
+            _sample_bilinear(src, ys + margin, xs + margin).astype(np.float32)
+        )
+    return np.stack(frames)
 
 
 def benchmark_sets(dim: int = 512, n_frames: int = 4):

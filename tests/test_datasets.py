@@ -107,3 +107,25 @@ def test_evaluate_triplets_and_probe(tmp_path):
     )
     p = probe(None)
     assert np.isfinite(p)
+
+
+def test_photo_set_optin():
+    """The real-photograph motion set (exact GT, natural image statistics)
+    is opt-in: default synthetic_sets excludes it so the historical 8-set
+    dominance criterion keeps its meaning."""
+    from fmvfi_tpu.eval.evaluate import synthetic_sets
+    from fmvfi_tpu.eval.synth import photo_video
+
+    base = synthetic_sets(64, n_frames=3)
+    assert "photo" not in base
+    with_photo = synthetic_sets(64, n_frames=3, include_photo=True)
+    assert "photo" in with_photo
+    v = with_photo["photo"]
+    assert v.shape[1:] == (64, 64, 3) and v.dtype == np.float32
+    # motion is real: consecutive frames differ, sequence is not constant
+    assert float(np.abs(v[1] - v[0]).mean()) > 1e-3
+
+    # the generator is deterministic for a given seed (eval cache contract)
+    a = photo_video(3, 64, 64, step=2.0, seed=3)
+    b = photo_video(3, 64, 64, step=2.0, seed=3)
+    np.testing.assert_array_equal(a, b)
