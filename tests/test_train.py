@@ -111,6 +111,24 @@ def test_fusion_train_step_runs():
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert int(state.step) == 2
 
+    # balanced-L1 mode: same TrainState pytree (exact resume across the flag
+    # works), same REPORTED loss on the same params (metric stays plain L1),
+    # different parameter update (gradients are reweighted per sample)
+    state_b, step_b = make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars, loss_balance=True
+    )
+    assert jax.tree_util.tree_structure(state_b) == jax.tree_util.tree_structure(
+        make_fusion_trainer(rng, h, w, phase_vars, ada_vars)[0]
+    )
+    batch2 = _triplet_batch(2, h, w)
+    sb1, mb1 = jax.jit(step_b)(state_b, batch2)
+    assert np.isfinite(float(mb1["loss"]))
+    sp1, mp1 = jax.jit(make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars)[1])(
+        make_fusion_trainer(rng, h, w, phase_vars, ada_vars)[0], batch2
+    )
+    np.testing.assert_allclose(float(mb1["loss"]), float(mp1["loss"]), rtol=1e-5)
+
 
 @pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():

@@ -41,6 +41,10 @@ parser.add_argument("--probe_every", type=int, default=2000)
 parser.add_argument("--save_every", type=int, default=2000)
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--resume_state", default="", help="full TrainState msgpack (exact resume incl. optimizer)")
+parser.add_argument("--loss_balance", action="store_true",
+                    help="stage b: per-sample-balanced L1 (equalizes regime "
+                    "gradients on the mixed synthetic diet; TrainState pytree "
+                    "unchanged, exact resume across the flag works)")
 args = parser.parse_args()
 
 import jax
@@ -194,6 +198,7 @@ else:
     state, step = T.make_fusion_trainer(
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
+        loss_balance=args.loss_balance,
     )
     if args.fusion_init:
         from fmvfi_tpu.utils.convert import load_fusion_weights
