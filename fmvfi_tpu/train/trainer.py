@@ -344,6 +344,7 @@ def make_fusion_trainer(
     variant: int = 0,
     uncertainty_maps: int = 3,
     loss_balance: bool = False,
+    distill: float = 0.0,
 ):
     """FusionNet training: frozen PhaseNet + AdaCoF produce the pipeline
     inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254).
@@ -358,6 +359,16 @@ def make_fusion_trainer(
     way, so runs are comparable across modes.  The reference trains on real
     video with plain L1 only — this flag exists for synthetic multi-regime
     diets, off by default.
+
+    `distill>0` (beyond-reference, opt-in) adds `distill * L1(pred, teacher)`
+    where the teacher is, per sample, the frozen component (AdaCoF or
+    PhaseNet prediction) closer to the ground truth.  Minimizing plain L1 to
+    GT alone converges extremely slowly toward TRACKING a near-degenerate
+    component (the fused output must reproduce a 45+ dB prediction
+    detail-for-detail); the teacher term is a shortcut into that basin and
+    is meant to be annealed to 0 in a final GT-only leg.  The reported
+    "loss" metric stays the plain L1.  TrainState is unchanged, so exact
+    resumes work across the flag.
 
     `variant`/`uncertainty_maps` select the published-checkpoint modes
     (fusion_net.py:69-77, fusion_net/train.py:79): (1, 3) trains the
@@ -402,13 +413,30 @@ def make_fusion_trainer(
             spatial_mesh=spatial_mesh, batch_axis=batch_axis,
             spatial_axis=spatial_axis,
             variant=variant, uncertainty_maps=uncertainty_maps,
+            return_parts=bool(distill),
         )
+        if distill:
+            pred, parts = pred
         per = jnp.mean(jnp.abs(pred - target), axis=(1, 2, 3))
         plain = jnp.mean(per)
+        total = per
+        if distill:
+            # per-sample teacher = the frozen component closer to GT; both
+            # are functions of frozen weights only (no grad to fparams)
+            ada = jax.lax.stop_gradient(parts["adacof"])
+            ph = jax.lax.stop_gradient(parts["phase"])
+            l_ada = jnp.mean(jnp.abs(ada - target), axis=(1, 2, 3))
+            l_ph = jnp.mean(jnp.abs(ph - target), axis=(1, 2, 3))
+            teacher = jnp.where(
+                (l_ada <= l_ph)[:, None, None, None], ada, ph
+            )
+            total = per + distill * jnp.mean(
+                jnp.abs(pred - teacher), axis=(1, 2, 3)
+            )
         if loss_balance:
             wgt = 1.0 / (jax.lax.stop_gradient(per) + 1e-3)
-            return jnp.sum(per * wgt / jnp.sum(wgt)), plain
-        return plain, plain
+            return jnp.sum(total * wgt / jnp.sum(wgt)), plain
+        return jnp.mean(total), plain
 
     def step_fn(state: TrainState, batch):
         (_, plain), grads = jax.value_and_grad(loss_fn, has_aux=True)(

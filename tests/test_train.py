@@ -129,6 +129,22 @@ def test_fusion_train_step_runs():
     )
     np.testing.assert_allclose(float(mb1["loss"]), float(mp1["loss"]), rtol=1e-5)
 
+    # distill mode: same TrainState pytree, reported metric still the plain
+    # L1 on the same params, parameter update differs (teacher term active)
+    state_d, step_d = make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars, loss_balance=True, distill=1.0
+    )
+    assert jax.tree_util.tree_structure(state_d) == jax.tree_util.tree_structure(
+        state_b
+    )
+    sd1, md1 = jax.jit(step_d)(state_d, batch2)
+    assert np.isfinite(float(md1["loss"]))
+    np.testing.assert_allclose(float(md1["loss"]), float(mp1["loss"]), rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), sd1.params, sb1.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
 
 @pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():

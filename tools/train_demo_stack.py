@@ -45,6 +45,10 @@ parser.add_argument("--loss_balance", action="store_true",
                     help="stage b: per-sample-balanced L1 (equalizes regime "
                     "gradients on the mixed synthetic diet; TrainState pytree "
                     "unchanged, exact resume across the flag works)")
+parser.add_argument("--distill", type=float, default=0.0,
+                    help="stage b: weight of the per-sample best-component "
+                    "teacher term (anneal to 0 in a final GT-only leg; "
+                    "TrainState unchanged, exact resume across the flag)")
 args = parser.parse_args()
 
 import jax
@@ -198,7 +202,7 @@ else:
     state, step = T.make_fusion_trainer(
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
-        loss_balance=args.loss_balance,
+        loss_balance=args.loss_balance, distill=args.distill,
     )
     if args.fusion_init:
         from fmvfi_tpu.utils.convert import load_fusion_weights
