@@ -345,6 +345,7 @@ def make_fusion_trainer(
     uncertainty_maps: int = 3,
     loss_balance: bool = False,
     distill: float = 0.0,
+    loss_psnr: bool = False,
 ):
     """FusionNet training: frozen PhaseNet + AdaCoF produce the pipeline
     inputs; only FusionNet trains, plain L1 (fusion_net/trainer.py:254).
@@ -369,6 +370,16 @@ def make_fusion_trainer(
     is meant to be annealed to 0 in a final GT-only leg.  The reported
     "loss" metric stays the plain L1.  TrainState is unchanged, so exact
     resumes work across the flag.
+
+    `loss_psnr=True` (beyond-reference, opt-in) replaces the per-sample term
+    with log(MSE + 1e-8) — i.e. it minimizes mean per-sample negative PSNR,
+    the evaluation criterion itself.  Two properties matter on a
+    multi-regime diet near convergence: the 1/MSE weighting equalizes
+    regimes automatically (stronger than `loss_balance`), and the gradient
+    VANISHES as a sample converges, unlike L1's constant-magnitude sign
+    gradient whose Adam stationary jitter caps per-sample PSNR at a
+    lr-dependent plateau.  The reported "loss" stays plain L1; TrainState
+    is unchanged, so exact resumes work across the flag.
 
     `variant`/`uncertainty_maps` select the published-checkpoint modes
     (fusion_net.py:69-77, fusion_net/train.py:79): (1, 3) trains the
@@ -419,7 +430,12 @@ def make_fusion_trainer(
             pred, parts = pred
         per = jnp.mean(jnp.abs(pred - target), axis=(1, 2, 3))
         plain = jnp.mean(per)
-        total = per
+        if loss_psnr:
+            total = jnp.log(
+                jnp.mean((pred - target) ** 2, axis=(1, 2, 3)) + 1e-8
+            )
+        else:
+            total = per
         if distill:
             # per-sample teacher = the frozen component closer to GT; both
             # are functions of frozen weights only (no grad to fparams)
@@ -430,9 +446,14 @@ def make_fusion_trainer(
             teacher = jnp.where(
                 (l_ada <= l_ph)[:, None, None, None], ada, ph
             )
-            total = per + distill * jnp.mean(
-                jnp.abs(pred - teacher), axis=(1, 2, 3)
-            )
+            if loss_psnr:
+                total = total + distill * jnp.log(
+                    jnp.mean((pred - teacher) ** 2, axis=(1, 2, 3)) + 1e-8
+                )
+            else:
+                total = total + distill * jnp.mean(
+                    jnp.abs(pred - teacher), axis=(1, 2, 3)
+                )
         if loss_balance:
             wgt = 1.0 / (jax.lax.stop_gradient(per) + 1e-3)
             return jnp.sum(total * wgt / jnp.sum(wgt)), plain

@@ -145,6 +145,22 @@ def test_fusion_train_step_runs():
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
 
+    # psnr (log-MSE) mode: same TrainState pytree, reported metric still the
+    # plain L1 on the same params, parameter update differs from plain L1
+    state_p, step_p = make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars, loss_psnr=True
+    )
+    assert jax.tree_util.tree_structure(state_p) == jax.tree_util.tree_structure(
+        state_b
+    )
+    spp1, mpp1 = jax.jit(step_p)(state_p, batch2)
+    assert np.isfinite(float(mpp1["loss"]))
+    np.testing.assert_allclose(float(mpp1["loss"]), float(mp1["loss"]), rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), spp1.params, sp1.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
 
 @pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():

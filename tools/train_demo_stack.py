@@ -45,6 +45,12 @@ parser.add_argument("--loss_balance", action="store_true",
                     help="stage b: per-sample-balanced L1 (equalizes regime "
                     "gradients on the mixed synthetic diet; TrainState pytree "
                     "unchanged, exact resume across the flag works)")
+parser.add_argument("--loss_psnr", action="store_true",
+                    help="stage b: per-sample log-MSE loss (= mean negative "
+                    "PSNR, the eval criterion); self-balancing and with a "
+                    "vanishing gradient at convergence, unlike L1's "
+                    "sign-gradient plateau (TrainState unchanged, exact "
+                    "resume across the flag)")
 parser.add_argument("--distill", type=float, default=0.0,
                     help="stage b: weight of the per-sample best-component "
                     "teacher term (anneal to 0 in a final GT-only leg; "
@@ -203,6 +209,7 @@ else:
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
         loss_balance=args.loss_balance, distill=args.distill,
+        loss_psnr=args.loss_psnr,
     )
     if args.fusion_init:
         from fmvfi_tpu.utils.convert import load_fusion_weights
