@@ -92,10 +92,13 @@ def main():
             fusion_stream_step,
         )
 
+        # donate the ~0.4 GB carry: 8 async in-flight steps would otherwise
+        # pin old+new pyramid buffers each (multi-GB) and stall the allocator
         jstep = jax.jit(
             lambda wts, flt, c, f: fusion_stream_step(
                 wts, c, f, filters=flt, compute_dtype=cdt
-            )
+            ),
+            donate_argnums=(2,),
         )
         a = jnp.asarray(frames[0][None])
         b = jnp.asarray(frames[1][None])

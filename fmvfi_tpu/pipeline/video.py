@@ -239,11 +239,17 @@ def _double_frame_rate_stream(
     filters = jax.tree.map(
         jnp.asarray, make_filters(h + ph, w + pw, max_pyr_height(h + ph, w + pw))
     )
+    # the carry (~0.4 GB of pyramid buffers at 1080p) is donated so XLA
+    # aliases it in place instead of holding old+new copies per in-flight
+    # step — without this, async dispatch of a few steps pins multiple GB
+    # of HBM and the allocator stalls the stream well below the per-pair
+    # path's throughput
     jstep = jax.jit(
         lambda wts, flt, c, f: fusion_stream_step(
             wts, c, f, filters=flt,
             variant=variant, uncertainty_maps=uncertainty_maps,
-        )
+        ),
+        donate_argnums=(2,),
     )
 
     def dev(i):

@@ -17,6 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+HBM_GBPS = 819.0  # set from --hbm_gbps in main()
+
+
 def timed(fn, args, iters, name, chain_idx=0):
     out = fn(*args)
     import jax
@@ -30,7 +33,24 @@ def timed(fn, args, iters, name, chain_idx=0):
         leaves = jax.tree_util.tree_leaves(out)
     _ = float(abs(leaves[0].ravel()[0]))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:42s} {dt*1e3:9.1f} ms", flush=True)
+
+    # bandwidth floor: bytes the optimized HLO touches / peak HBM bandwidth.
+    # "% of floor" = how close the stage runs to pure-bandwidth speed-of-light
+    # (100% = every byte moved once at peak BW; MXU-bound stages read lower).
+    line = f"{name:42s} {dt*1e3:9.1f} ms"
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        gb = ca.get("bytes accessed", 0.0) / 1e9
+        floor_ms = gb / HBM_GBPS * 1e3
+        line += (
+            f"  {gb:8.2f} GB  {gb / dt:7.1f} GB/s"
+            f"  floor {floor_ms:7.1f} ms ({100.0 * floor_ms / (dt * 1e3):5.1f}%)"
+        )
+    except Exception:
+        pass
+    print(line, flush=True)
     return out, dt
 
 
@@ -39,7 +59,11 @@ def main():
     ap.add_argument("--size", default="1080x1920")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--hbm_gbps", type=float, default=819.0,
+                    help="peak HBM bandwidth for the floor column (v5e: 819)")
     args = ap.parse_args()
+    global HBM_GBPS
+    HBM_GBPS = args.hbm_gbps
 
     import jax
     import jax.numpy as jnp
