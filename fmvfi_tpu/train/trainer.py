@@ -361,15 +361,19 @@ def make_fusion_trainer(
     video with plain L1 only — this flag exists for synthetic multi-regime
     diets, off by default.
 
-    `distill>0` (beyond-reference, opt-in) adds `distill * L1(pred, teacher)`
+    `distill>0` (beyond-reference, opt-in) adds `distill * L(pred, teacher)`
     where the teacher is, per sample, the frozen component (AdaCoF or
     PhaseNet prediction) closer to the ground truth.  Minimizing plain L1 to
     GT alone converges extremely slowly toward TRACKING a near-degenerate
     component (the fused output must reproduce a 45+ dB prediction
-    detail-for-detail); the teacher term is a shortcut into that basin and
-    is meant to be annealed to 0 in a final GT-only leg.  The reported
-    "loss" metric stays the plain L1.  TrainState is unchanged, so exact
-    resumes work across the flag.
+    detail-for-detail); the teacher term is a shortcut into that basin.
+    The term is GATED per sample: it is active only while the teacher is
+    strictly better than the current prediction (stop-gradient comparison),
+    so it ratchets the fused output up to the better component and then
+    vanishes — it never pulls a sample whose fused output already beats
+    both components back toward them, and no anneal-to-zero leg is needed.
+    The reported "loss" metric stays the plain L1.  TrainState is
+    unchanged, so exact resumes work across the flag.
 
     `loss_psnr=True` (beyond-reference, opt-in) replaces the per-sample term
     with log(MSE + 1e-8) — i.e. it minimizes mean per-sample negative PSNR,
@@ -446,12 +450,17 @@ def make_fusion_trainer(
             teacher = jnp.where(
                 (l_ada <= l_ph)[:, None, None, None], ada, ph
             )
+            # gate: teacher active only while strictly better than pred
+            l_teacher = jnp.minimum(l_ada, l_ph)
+            gate = (
+                l_teacher < jax.lax.stop_gradient(per)
+            ).astype(pred.dtype)
             if loss_psnr:
-                total = total + distill * jnp.log(
+                total = total + (distill * gate) * jnp.log(
                     jnp.mean((pred - teacher) ** 2, axis=(1, 2, 3)) + 1e-8
                 )
             else:
-                total = total + distill * jnp.mean(
+                total = total + (distill * gate) * jnp.mean(
                     jnp.abs(pred - teacher), axis=(1, 2, 3)
                 )
         if loss_balance:
