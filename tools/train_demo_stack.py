@@ -30,6 +30,9 @@ parser.add_argument("--steps", type=int, default=40000)
 parser.add_argument("--batch", type=int, default=8)
 parser.add_argument("--crop", type=int, default=256)
 parser.add_argument("--pool", type=int, default=768)
+parser.add_argument("--pool_h", type=int, default=288,
+                    help="scene height of the synthetic pool (crop <= this)")
+parser.add_argument("--pool_w", type=int, default=448)
 parser.add_argument("--lr", type=float, default=0.0, help="0 = stage default")
 parser.add_argument("--decay_steps", type=int, default=10000)
 parser.add_argument("--out", default="runs/demo_stack")
@@ -119,12 +122,16 @@ print(f"[{args.stage}] generating {args.pool}-scene mixed stream...", flush=True
 t0 = time.time()
 # v2: large-motion regime magnitude fix in MixedSynthStream (dx no longer
 # scaled by cos(angle)) — a v1 pool must not be reused
-cache = os.path.join(args.out, f"pool_{args.pool}_v2.npy")
+size_tag = (
+    "" if (args.pool_h, args.pool_w) == (288, 448)
+    else f"_{args.pool_h}x{args.pool_w}"
+)
+cache = os.path.join(args.out, f"pool_{args.pool}{size_tag}_v2.npy")
 if os.path.exists(cache):
     ds = MixedSynthStream.__new__(MixedSynthStream)
     ds._items = list(np.load(cache))
 else:
-    ds = MixedSynthStream(n=args.pool, seed0=1000)
+    ds = MixedSynthStream(n=args.pool, h=args.pool_h, w=args.pool_w, seed0=1000)
     np.save(cache, np.stack(ds._items))
 print(f"pool ready in {time.time()-t0:.1f}s", flush=True)
 
