@@ -45,6 +45,10 @@ def main():
         "pass-3 with the next main pass; identical math, pinned by "
         "tests/test_pipeline.py::test_fusion_stream_matches_per_pair)",
     )
+    ap.add_argument("--bs", type=int, default=1,
+                    help="batch size: N independent frame streams per "
+                    "dispatch (offline rate-doubling throughput; fps counts "
+                    "all N)")
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
                     help="compute dtype for the conv nets (warp/pyramid stay fp32)")
@@ -83,6 +87,7 @@ def main():
 
     frames = translation_video(2, h, w, step=3.0)
     weights = _fusion_weights(h, w)
+    bs = args.bs
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
 
     cdt = jnp.bfloat16 if args.dtype == "bf16" else None
@@ -100,8 +105,8 @@ def main():
             ),
             donate_argnums=(2,),
         )
-        a = jnp.asarray(frames[0][None])
-        b = jnp.asarray(frames[1][None])
+        a = jnp.asarray(jnp.tile(frames[0][None], (bs, 1, 1, 1)))
+        b = jnp.asarray(jnp.tile(frames[1][None], (bs, 1, 1, 1)))
         carry = jax.jit(lambda flt, f: fusion_stream_init(f, flt))(filters, a)
         carry, out = jstep(weights, filters, carry, b)  # warmup/compile
         _ = float(out[0, 0, 0, 0])
@@ -112,7 +117,7 @@ def main():
             carry, x = jstep(weights, filters, carry, x)
         _ = float(x[0, 0, 0, 0])
         dt = time.perf_counter() - t0
-        fps = args.frames / dt
+        fps = args.frames * bs / dt
         result = {
             "metric": f"{h}p_fusion_interpolated_frames_per_sec_per_chip",
             "value": round(fps, 4),
@@ -134,8 +139,8 @@ def main():
     else:
         raw = jax.jit(lambda a, b: adacof_interpolate(weights.adacof, a, b))
 
-    a = jnp.asarray(frames[0][None])
-    b = jnp.asarray(frames[1][None])
+    a = jnp.asarray(jnp.tile(frames[0][None], (bs, 1, 1, 1)))
+    b = jnp.asarray(jnp.tile(frames[1][None], (bs, 1, 1, 1)))
 
     # warmup/compile (scalar read = real execution barrier)
     out = raw(a, b)
@@ -148,7 +153,7 @@ def main():
         x = raw(x, b)
     _ = float(x[0, 0, 0, 0])
     dt = time.perf_counter() - t0
-    fps = args.frames / dt
+    fps = args.frames * bs / dt
 
     result = {
         "metric": f"{h}p_{args.pipeline}_interpolated_frames_per_sec_per_chip",
