@@ -18,10 +18,10 @@ START=${1:?pass the current absolute step (state_b_latest)}
 L1=$((START + 2500))
 L2=$((L1 + 500))
 
-echo "[r3h] leg 1: -> $L1 steps @ lr 3e-6, crop 512 / batch 2 (576^2 pool)"
+echo "[r3h] leg 1: -> $L1 steps @ lr 1e-5, crop 512 / batch 2 (576^2 pool)"
 tools/supervise_stage.sh b "$L1" "$OUT" \
   --adacof_init "$OUT/adacof_best.msgpack" \
-  --lr 3e-6 --loss_psnr --distill 1.0 --crop 512 --batch 2 \
+  --lr 1e-5 --loss_psnr --distill 1.0 --crop 512 --batch 2 \
   --pool 192 --pool_h 576 --pool_w 576 \
   --probe_every 500 --save_every 500
 
