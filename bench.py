@@ -39,11 +39,16 @@ def main():
         "--pipeline", default="fusion", choices=["fusion", "phase", "adacof"]
     )
     ap.add_argument(
-        "--no_stream", action="store_true",
-        help="fusion: per-pair pipeline instead of the streaming serving "
-        "loop (stream reuses the shared frame's decomposition and batches "
-        "pass-3 with the next main pass; identical math, pinned by "
-        "tests/test_pipeline.py::test_fusion_stream_matches_per_pair)",
+        "--stream", action="store_true",
+        help="fusion: use the streaming serving loop instead of the default "
+        "per-pair pipeline (stream reuses the shared frame's decomposition "
+        "and batches pass-3 with the next main pass; identical math, pinned "
+        "by tests/test_pipeline.py::test_fusion_stream_matches_per_pair). "
+        "Measured SLOWER at 1080p on this chip (0.55 vs 1.07 fps): the "
+        "carried pyramid decomposition crosses the jit boundary, forcing "
+        "every band to materialize in HBM and defeating the FFT/elementwise "
+        "fusion the per-pair graph gets — so per-pair is the benchmarked "
+        "default",
     )
     ap.add_argument("--bs", type=int, default=1,
                     help="batch size: N independent frame streams per "
@@ -91,7 +96,7 @@ def main():
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
 
     cdt = jnp.bfloat16 if args.dtype == "bf16" else None
-    if args.pipeline == "fusion" and not args.no_stream:
+    if args.pipeline == "fusion" and args.stream:
         from fmvfi_tpu.pipeline.interpolate import (
             fusion_stream_init,
             fusion_stream_step,

@@ -203,7 +203,7 @@ def cmd_video(argv):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per device dispatch (>1 = offline-throughput "
-                        "mode; 1 = streaming/latency mode)")
+                        "mode; 1 = per-pair latency mode)")
     p.add_argument("--factor", type=int, default=2,
                    help="rate multiplier (power of two; >2 = recursive "
                         "midpoint doubling)")

@@ -107,7 +107,7 @@ def _interp_fn(weights, h: int, w: int, method: str,
 
 def double_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
-    variant: int = 0, uncertainty_maps: int = 3, stream: bool = True,
+    variant: int = 0, uncertainty_maps: int = 3, stream: bool = False,
     batch: int = 1,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
@@ -115,12 +115,16 @@ def double_frame_rate(
     Device compute for pair i+1 is dispatched before pair i's result is
     fetched (JAX async dispatch), overlapping transfer with compute.
 
-    For the fusion method the default path is the STREAMING pipeline
+    For the fusion method `stream=True` opts into the STREAMING pipeline
     (fusion_stream_step): the frame shared between consecutive pairs is
     color-converted + pyramid-decomposed once, and the baseline pass-3
     U-Net of pair i batches with the main AdaCoF pass of pair i+1 —
     identical math (tests/test_pipeline.py pins stream == per-pair), fewer
-    device passes per frame.  `stream=False` forces the per-pair path.
+    device passes per frame.  It is NOT the default: despite the lower
+    per-frame op count, the carried pyramid decomposition crosses the jit
+    boundary each step, forcing every band to materialize in HBM and
+    defeating the FFT/elementwise fusion the per-pair graph gets — measured
+    0.55 vs 1.07 fps at 1080p on this chip (bench.py --stream).
 
     `batch` > 1 interpolates that many CONSECUTIVE pairs per device
     dispatch (offline-throughput mode: bigger batches fill the MXU better
@@ -161,7 +165,7 @@ def double_frame_rate(
 def multiply_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, factor: int = 2,
-    stream: bool = True, batch: int = 1,
+    stream: bool = False, batch: int = 1,
 ) -> Iterator[np.ndarray]:
     """Yield the `factor`x-rate sequence by recursive midpoint doubling.
 

@@ -179,7 +179,9 @@ def test_fusion_stream_matches_per_pair(triplet):
             fusion_net=fusion_by_maps[maps],
         )
         streamed = list(
-            double_frame_rate(frames, weights, "fusion", uncertainty_maps=maps)
+            double_frame_rate(
+                frames, weights, "fusion", uncertainty_maps=maps, stream=True
+            )
         )
         per_pair = list(
             double_frame_rate(
