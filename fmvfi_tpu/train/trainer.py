@@ -372,6 +372,10 @@ def make_fusion_trainer(
     so it ratchets the fused output up to the better component and then
     vanishes — it never pulls a sample whose fused output already beats
     both components back toward them, and no anneal-to-zero leg is needed.
+    The comparison metric matches the optimized criterion: L1 in the
+    default mode, per-sample MSE under `loss_psnr` (where the teacher
+    term is log-MSE floored at 1e-6 so its gradient cannot blow up and
+    saturate the global-norm clip as pred approaches the teacher).
     The reported "loss" metric stays the plain L1.  TrainState is
     unchanged, so exact resumes work across the flag.
 
@@ -394,6 +398,17 @@ def make_fusion_trainer(
     fusion_interpolate so the forward runs batch- AND height-sharded (the
     FFT sections stay pinned to batch sharding); jit the returned step with
     explicit shardings via parallel.spatial.fusion_spatial_trainer."""
+    if loss_psnr and loss_balance:
+        # log-MSE is already self-balancing (1/MSE weighting is implicit in
+        # d/dx log); stacking 1/(L1) weights on the NEGATIVE log values
+        # inverts the intent — the largest weight lands on the already-
+        # converged samples (advisor r3, medium).
+        raise ValueError(
+            "loss_psnr and loss_balance are mutually exclusive: per-sample "
+            "log-MSE is self-balancing, and 1/L1 weighting applied to "
+            "negative log values would up-weight converged samples instead "
+            "of lagging ones"
+        )
     fusion = FusionNet(uncertainty_maps=uncertainty_maps)
     z3 = jnp.zeros((1, h, w, 3))
     fvars = fusion.init(
@@ -435,9 +450,8 @@ def make_fusion_trainer(
         per = jnp.mean(jnp.abs(pred - target), axis=(1, 2, 3))
         plain = jnp.mean(per)
         if loss_psnr:
-            total = jnp.log(
-                jnp.mean((pred - target) ** 2, axis=(1, 2, 3)) + 1e-8
-            )
+            mse_pred = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+            total = jnp.log(mse_pred + 1e-8)
         else:
             total = per
         if distill:
@@ -445,21 +459,41 @@ def make_fusion_trainer(
             # are functions of frozen weights only (no grad to fparams)
             ada = jax.lax.stop_gradient(parts["adacof"])
             ph = jax.lax.stop_gradient(parts["phase"])
-            l_ada = jnp.mean(jnp.abs(ada - target), axis=(1, 2, 3))
-            l_ph = jnp.mean(jnp.abs(ph - target), axis=(1, 2, 3))
-            teacher = jnp.where(
-                (l_ada <= l_ph)[:, None, None, None], ada, ph
-            )
-            # gate: teacher active only while strictly better than pred
-            l_teacher = jnp.minimum(l_ada, l_ph)
-            gate = (
-                l_teacher < jax.lax.stop_gradient(per)
-            ).astype(pred.dtype)
             if loss_psnr:
+                # teacher selection AND gate use per-sample MSE so the gate
+                # metric matches the optimized/evaluated criterion — an
+                # L1 gate could keep pulling a sample that already beats
+                # the teacher in PSNR (advisor r3)
+                m_ada = jnp.mean((ada - target) ** 2, axis=(1, 2, 3))
+                m_ph = jnp.mean((ph - target) ** 2, axis=(1, 2, 3))
+                teacher = jnp.where(
+                    (m_ada <= m_ph)[:, None, None, None], ada, ph
+                )
+                gate = (
+                    jnp.minimum(m_ada, m_ph)
+                    < jax.lax.stop_gradient(mse_pred)
+                ).astype(pred.dtype)
+                # floor the distill MSE at 1e-6 (60 dB to-teacher fidelity):
+                # below it the clamp zeroes the term's gradient, so the
+                # 1/MSE log-gradient cannot grow unboundedly as pred
+                # approaches the teacher and saturate the global-norm clip
+                # (advisor r3)
                 total = total + (distill * gate) * jnp.log(
-                    jnp.mean((pred - teacher) ** 2, axis=(1, 2, 3)) + 1e-8
+                    jnp.maximum(
+                        jnp.mean((pred - teacher) ** 2, axis=(1, 2, 3)),
+                        1e-6,
+                    )
                 )
             else:
+                l_ada = jnp.mean(jnp.abs(ada - target), axis=(1, 2, 3))
+                l_ph = jnp.mean(jnp.abs(ph - target), axis=(1, 2, 3))
+                teacher = jnp.where(
+                    (l_ada <= l_ph)[:, None, None, None], ada, ph
+                )
+                # gate: teacher active only while strictly better than pred
+                gate = (
+                    jnp.minimum(l_ada, l_ph) < jax.lax.stop_gradient(per)
+                ).astype(pred.dtype)
                 total = total + (distill * gate) * jnp.mean(
                     jnp.abs(pred - teacher), axis=(1, 2, 3)
                 )

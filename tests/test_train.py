@@ -161,6 +161,21 @@ def test_fusion_train_step_runs():
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
 
+    # psnr + gated distill (the round-4 campaign objective): runs finite,
+    # reported metric still the plain L1, and the combination with
+    # loss_balance is rejected (advisor r3 medium: 1/L1 weights on negative
+    # log values invert the balancing intent)
+    state_pd, step_pd = make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars, loss_psnr=True, distill=1.0
+    )
+    spd1, mpd1 = jax.jit(step_pd)(state_pd, batch2)
+    assert np.isfinite(float(mpd1["loss"]))
+    np.testing.assert_allclose(float(mpd1["loss"]), float(mp1["loss"]), rtol=1e-5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_fusion_trainer(
+            rng, h, w, phase_vars, ada_vars, loss_psnr=True, loss_balance=True
+        )
+
 
 @pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():
