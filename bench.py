@@ -41,15 +41,17 @@ def main():
     ap.add_argument(
         "--stream", action="store_true",
         help="fusion: use the streaming serving loop instead of the default "
-        "per-pair pipeline (stream reuses the shared frame's decomposition "
-        "and batches pass-3 with the next main pass; identical math, pinned "
-        "by tests/test_pipeline.py::test_fusion_stream_matches_per_pair). "
-        "Measured SLOWER at 1080p on this chip (0.55 vs 1.07 fps): the "
-        "carried pyramid decomposition crosses the jit boundary, forcing "
-        "every band to materialize in HBM and defeating the FFT/elementwise "
-        "fusion the per-pair graph gets — so per-pair is the benchmarked "
-        "default",
+        "per-pair pipeline (stream reuses the shared frame's decomposition, "
+        "batches pass-3 with the next main pass, and runs --stream_window "
+        "steps inside one jitted lax.scan so the carry never crosses the "
+        "jit boundary; identical math, pinned by tests/test_pipeline.py::"
+        "test_fusion_stream_matches_per_pair).  The result JSON carries "
+        '"stream": true so runs are distinguishable from per-pair ones',
     )
+    ap.add_argument("--no_stream", action="store_true",
+                    help="deprecated no-op (per-pair is the default)")
+    ap.add_argument("--stream_window", type=int, default=8,
+                    help="stream steps per jitted lax.scan dispatch")
     ap.add_argument("--bs", type=int, default=1,
                     help="batch size: N independent frame streams per "
                     "dispatch (offline rate-doubling throughput; fps counts "
@@ -99,35 +101,40 @@ def main():
     if args.pipeline == "fusion" and args.stream:
         from fmvfi_tpu.pipeline.interpolate import (
             fusion_stream_init,
-            fusion_stream_step,
+            fusion_stream_scan,
         )
 
-        # donate the ~0.4 GB carry: 8 async in-flight steps would otherwise
-        # pin old+new pyramid buffers each (multi-GB) and stall the allocator
-        jstep = jax.jit(
-            lambda wts, flt, c, f: fusion_stream_step(
-                wts, c, f, filters=flt, compute_dtype=cdt
+        T = max(1, args.stream_window)
+        # window of steps inside ONE jitted lax.scan: the carry is a
+        # device-internal loop variable (donated across window dispatches),
+        # so the pyramid bands never materialize at a jit boundary
+        jscan = jax.jit(
+            lambda wts, flt, c, fw: fusion_stream_scan(
+                wts, c, fw, filters=flt, compute_dtype=cdt
             ),
             donate_argnums=(2,),
         )
         a = jnp.asarray(jnp.tile(frames[0][None], (bs, 1, 1, 1)))
-        b = jnp.asarray(jnp.tile(frames[1][None], (bs, 1, 1, 1)))
+        fw = jnp.asarray(jnp.tile(frames[1][None, None], (T, bs, 1, 1, 1)))
         carry = jax.jit(lambda flt, f: fusion_stream_init(f, flt))(filters, a)
-        carry, out = jstep(weights, filters, carry, b)  # warmup/compile
-        _ = float(out[0, 0, 0, 0])
+        carry, outs = jscan(weights, filters, carry, fw)  # warmup/compile
+        _ = float(outs[0, 0, 0, 0, 0])
 
+        iters = max(1, -(-args.frames // T))
         t0 = time.perf_counter()
-        x = out
-        for _ in range(args.frames):
-            carry, x = jstep(weights, filters, carry, x)
-        _ = float(x[0, 0, 0, 0])
+        for _ in range(iters):
+            carry, outs = jscan(weights, filters, carry, fw)
+        _ = float(outs[-1, 0, 0, 0, 0])
         dt = time.perf_counter() - t0
-        fps = args.frames * bs / dt
+        fps = iters * T * bs / dt
         result = {
             "metric": f"{h}p_fusion_interpolated_frames_per_sec_per_chip",
             "value": round(fps, 4),
             "unit": "frames/sec",
             "vs_baseline": round(fps / (TARGET_MULTIPLIER * ref_fps), 4),
+            "stream": True,
+            "stream_window": T,
+            "batch": bs,
         }
         print(json.dumps(result))
         return
@@ -165,6 +172,8 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / (TARGET_MULTIPLIER * ref_fps), 4),
+        "stream": False,
+        "batch": bs,
     }
     print(json.dumps(result))
 

@@ -41,6 +41,46 @@ def read_video_frames(path: str, resize=None) -> np.ndarray:
     return np.stack(frames).astype(np.float32) / 255.0
 
 
+def iter_video_frames(path: str, resize=None) -> Iterator[np.ndarray]:
+    """Decode an mp4/avi one frame at a time as (H, W, 3) uint8 RGB.
+
+    The streaming counterpart of `read_video_frames` for memory-sane eval
+    sweeps (eval.evaluate.evaluate_frames accepts the iterator directly):
+    a 300-frame 1080p clip decoded whole is 7 GB as float32 — streamed u8
+    it is one frame at a time, normalized on device."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    got_any = False
+    try:
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            if resize is not None:
+                bgr = cv2.resize(bgr, (resize[1], resize[0]))
+            got_any = True
+            yield cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+    if not got_any:
+        raise ValueError(f"no frames decoded from {path}")
+
+
+def iter_frame_dir(path: str) -> Iterator[np.ndarray]:
+    """Stream a sorted directory of PNG/JPG frames as (H, W, 3) uint8 RGB."""
+    import cv2
+
+    names = sorted(
+        f for f in os.listdir(path) if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not names:
+        raise ValueError(f"no frames in {path}")
+    for n in names:
+        bgr = cv2.imread(os.path.join(path, n))
+        yield cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
 def read_frame_dir(path: str) -> np.ndarray:
     """Read a sorted directory of PNG/JPG frames into (N, H, W, 3) [0,1]."""
     import cv2
@@ -108,23 +148,20 @@ def _interp_fn(weights, h: int, w: int, method: str,
 def double_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, stream: bool = False,
-    batch: int = 1,
+    batch: int = 1, stream_window: int = 8,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
 
     Device compute for pair i+1 is dispatched before pair i's result is
     fetched (JAX async dispatch), overlapping transfer with compute.
 
-    For the fusion method `stream=True` opts into the STREAMING pipeline
-    (fusion_stream_step): the frame shared between consecutive pairs is
-    color-converted + pyramid-decomposed once, and the baseline pass-3
-    U-Net of pair i batches with the main AdaCoF pass of pair i+1 —
-    identical math (tests/test_pipeline.py pins stream == per-pair), fewer
-    device passes per frame.  It is NOT the default: despite the lower
-    per-frame op count, the carried pyramid decomposition crosses the jit
-    boundary each step, forcing every band to materialize in HBM and
-    defeating the FFT/elementwise fusion the per-pair graph gets — measured
-    0.55 vs 1.07 fps at 1080p on this chip (bench.py --stream).
+    For the fusion method `stream=True` opts into the STREAMING pipeline:
+    the frame shared between consecutive pairs is color-converted +
+    pyramid-decomposed once, the baseline pass-3 U-Net of pair i batches
+    with the main AdaCoF pass of pair i+1, and `stream_window` steps run
+    inside one jitted `lax.scan` so the carried decomposition never
+    crosses the jit boundary (fusion_stream_scan) — identical math
+    (tests/test_pipeline.py pins stream == per-pair).
 
     `batch` > 1 interpolates that many CONSECUTIVE pairs per device
     dispatch (offline-throughput mode: bigger batches fill the MXU better
@@ -142,7 +179,7 @@ def double_frame_rate(
         return
     if method == "fusion" and stream:
         yield from _double_frame_rate_stream(
-            frames, weights, variant, uncertainty_maps
+            frames, weights, variant, uncertainty_maps, window=stream_window
         )
         return
     fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
@@ -165,7 +202,7 @@ def double_frame_rate(
 def multiply_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, factor: int = 2,
-    stream: bool = False, batch: int = 1,
+    stream: bool = False, batch: int = 1, stream_window: int = 8,
 ) -> Iterator[np.ndarray]:
     """Yield the `factor`x-rate sequence by recursive midpoint doubling.
 
@@ -184,14 +221,14 @@ def multiply_frame_rate(
             list(
                 double_frame_rate(
                     cur, weights, method, variant, uncertainty_maps,
-                    stream=stream, batch=batch,
+                    stream=stream, batch=batch, stream_window=stream_window,
                 )
             )
         )
         factor //= 2
     yield from double_frame_rate(
         cur, weights, method, variant, uncertainty_maps,
-        stream=stream, batch=batch,
+        stream=stream, batch=batch, stream_window=stream_window,
     )
 
 
@@ -232,46 +269,72 @@ def _double_frame_rate_batched(
 
 def _double_frame_rate_stream(
     frames: np.ndarray, weights: FusionWeights,
-    variant: int, uncertainty_maps: int,
+    variant: int, uncertainty_maps: int, window: int = 8,
 ) -> Iterator[np.ndarray]:
-    """Streaming-fusion body of double_frame_rate (one-step latency: the
-    fused middle of pair i is emitted while pair i+1 computes)."""
-    from .interpolate import fusion_stream_init, fusion_stream_step
+    """Streaming-fusion body of double_frame_rate: `window` stream steps
+    run inside ONE jitted `lax.scan` (fusion_stream_scan), so the carried
+    pyramid decomposition is a device-internal loop variable and only
+    window edges cross the jit boundary.  The round-3 per-step-jit variant
+    paid a boundary materialization of the ~0.4 GB carry every frame and
+    measured 0.55 vs 1.07 fps at 1080p; scanned, the shared-frame
+    decompose saving is actually banked.
+
+    Global step k consumes frame k+1 and emits the fused middle of pair
+    (k-1, k): step 0 primes (output discarded) and the last step feeds a
+    repeat of the final frame (flush).  The tail window is padded with
+    repeats — scan is causal, so padded steps cannot perturb valid
+    outputs — and one-deep chunk prefetch overlaps device compute with
+    host fetch, as in the per-pair path."""
+    from .interpolate import fusion_stream_init, fusion_stream_scan
 
     n, h, w, _ = frames.shape
     ph, pw = (-h) % 8, (-w) % 8
     filters = jax.tree.map(
         jnp.asarray, make_filters(h + ph, w + pw, max_pyr_height(h + ph, w + pw))
     )
-    # the carry (~0.4 GB of pyramid buffers at 1080p) is donated so XLA
-    # aliases it in place instead of holding old+new copies per in-flight
-    # step — without this, async dispatch of a few steps pins multiple GB
-    # of HBM and the allocator stalls the stream well below the per-pair
-    # path's throughput
-    jstep = jax.jit(
-        lambda wts, flt, c, f: fusion_stream_step(
-            wts, c, f, filters=flt,
+    window = max(1, min(window, n))
+    # donate the carry across window dispatches so XLA aliases it in place
+    jscan = jax.jit(
+        lambda wts, flt, c, fw: fusion_stream_scan(
+            wts, c, fw, filters=flt,
             variant=variant, uncertainty_maps=uncertainty_maps,
         ),
         donate_argnums=(2,),
     )
 
-    def dev(i):
-        f = frames[i][None]
+    def dev_window(ks):
+        # xs for steps ks: frame index min(k+1, n-1) (flush repeats last)
+        idx = np.minimum(np.asarray(ks) + 1, n - 1)
+        fw = frames[idx][:, None]  # (T, 1, H, W, 3)
         if ph or pw:
-            f = np.pad(f, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect")
-        return jnp.asarray(f)
+            fw = np.pad(
+                fw, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect"
+            )
+        return jnp.asarray(fw)
 
     jinit = jax.jit(lambda flt, f: fusion_stream_init(f, flt, uncertainty_maps))
-    carry = jinit(filters, dev(0))
-    carry, _discard = jstep(weights, filters, carry, dev(1))  # primes pair 0
-    for i in range(1, n):
-        # flush step: the pending pair's output only depends on carried
-        # tensors, so the final extra step can feed any frame
-        nxt = dev(i + 1) if i + 1 < n else dev(n - 1)
-        carry, fused = jstep(weights, filters, carry, nxt)
-        yield frames[i - 1]
-        yield np.asarray(fused)[0, :h, :w]
+    f0 = frames[0][None]
+    if ph or pw:
+        f0 = np.pad(f0, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect")
+    carry = jinit(filters, jnp.asarray(f0))
+
+    pending = None  # (list of valid global steps, device fused stack)
+    for s in range(0, n, window):
+        e = min(s + window, n)
+        ks = list(range(s, s + window))  # padded to the compiled window
+        carry, fused = jscan(weights, filters, carry, dev_window(ks))
+        if pending is not None:
+            p_ks, dev = pending
+            out = np.asarray(dev)
+            for j, k in enumerate(p_ks):
+                yield frames[k - 1]
+                yield out[j, 0, :h, :w]
+        pending = ([k for k in range(max(s, 1), e)], fused[max(s, 1) - s : e - s])
+    p_ks, dev = pending
+    out = np.asarray(dev)
+    for j, k in enumerate(p_ks):
+        yield frames[k - 1]
+        yield out[j, 0, :h, :w]
     yield frames[-1]
 
 

@@ -193,6 +193,21 @@ def test_fusion_stream_matches_per_pair(triplet):
             np.testing.assert_allclose(
                 s, p, atol=2e-5, err_msg=f"maps={maps} frame {i}"
             )
+        if maps == 3:
+            # window smaller than the clip: exercises the scan-chunk
+            # boundary (carry crossing between jitted windows) and the
+            # padded flush tail
+            chunked = list(
+                double_frame_rate(
+                    frames, weights, "fusion", uncertainty_maps=maps,
+                    stream=True, stream_window=2,
+                )
+            )
+            assert len(chunked) == len(per_pair)
+            for i, (s, p) in enumerate(zip(chunked, per_pair)):
+                np.testing.assert_allclose(
+                    s, p, atol=2e-5, err_msg=f"window=2 frame {i}"
+                )
 
 
 def test_metrics_sanity():
