@@ -207,6 +207,12 @@ def cmd_video(argv):
     p.add_argument("--factor", type=int, default=2,
                    help="rate multiplier (power of two; >2 = recursive "
                         "midpoint doubling)")
+    p.add_argument("--stream", action="store_true",
+                   help="fusion: streaming serving loop (scan-fused window; "
+                        "the shared frame's pyramid decomposition is reused "
+                        "across consecutive pairs) instead of per-pair")
+    p.add_argument("--stream_window", type=int, default=8,
+                   help="stream steps per jitted lax.scan dispatch")
     _common(p)
     args = p.parse_args(argv)
 
@@ -218,7 +224,9 @@ def cmd_video(argv):
     weights = _load_weights(args, h, w)
     out = list(multiply_frame_rate(frames, weights, args.method,
                                    args.fusion_variant, args.fusion_maps,
-                                   factor=args.factor, batch=args.batch))
+                                   factor=args.factor, batch=args.batch,
+                                   stream=args.stream,
+                                   stream_window=args.stream_window))
     write_frame_dir(args.output_dir, out)
     print(f"wrote {len(out)} frames to {args.output_dir}")
 
@@ -276,7 +284,9 @@ def cmd_evaluate(argv):
                 args.dim, include_photo=args.test_sets.endswith("+photo")
             )
         else:
-            sets = {s.split("/")[-1]: load_set(s) for s in plain}
+            # streamed: frames decode as they score (u8 until device
+            # upload), so an 11-clip 1080p sweep fits host RAM
+            sets = {s.split("/")[-1]: load_set(s, stream=True) for s in plain}
         summary = evaluate_suite(
             weights,
             args.out_dir,

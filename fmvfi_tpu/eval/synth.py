@@ -245,14 +245,167 @@ def photo_video(
     return np.stack(frames)
 
 
-def benchmark_sets(dim: int = 512, n_frames: int = 4):
+_PHOTO_SOURCES = None
+
+
+def photo_sources():
+    """Bundled natural images as float RGB in [0, 1] — the offline stand-in
+    for a natural-image training corpus (the reference trains on Vimeo90k,
+    /root/reference/src/train/datareader.py:17-74, which is absent here).
+
+    Sources (all shipped with baked-in packages, no network):
+      * the matplotlib Grace Hopper portrait (a real photograph: skin,
+        fabric, book text, flag stripes) plus three region crops whose
+        local statistics differ from the full frame,
+      * shaded-relief renders of matplotlib's two terrain samples
+        (real elevation measurements — ridges, valleys, coastline),
+      * an MRI slice (organic smooth shapes with sharp boundaries).
+    Cached after the first call."""
+    global _PHOTO_SOURCES
+    if _PHOTO_SOURCES is not None:
+        return _PHOTO_SOURCES
+    import matplotlib
+    from PIL import Image
+
+    base = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data/sample_data")
+    out = []
+
+    hopper = np.asarray(
+        Image.open(os.path.join(base, "grace_hopper.jpg")), dtype=np.float32
+    ) / 255.0
+    out.append(hopper)
+    hh, hw = hopper.shape[:2]
+    out.append(hopper[: hh // 2, : hw // 2])          # face / cap
+    out.append(hopper[hh // 3 :, hw // 3 :])          # books / uniform
+    out.append(hopper[hh // 4 : 3 * hh // 4, hw // 4 : 3 * hw // 4])
+
+    def _shade(z):
+        from matplotlib import cm
+        from matplotlib.colors import LightSource
+
+        z = np.asarray(z, np.float64)
+        ls = LightSource(azdeg=315, altdeg=45)
+        rgb = ls.shade(z, cmap=cm.gist_earth, vert_exag=0.1, blend_mode="soft")
+        return np.asarray(rgb[..., :3], np.float32)
+
+    try:
+        with np.load(os.path.join(base, "jacksboro_fault_dem.npz")) as dem:
+            out.append(_shade(dem["elevation"]))
+    except Exception:
+        pass
+    try:
+        with np.load(os.path.join(base, "topobathy.npz")) as dem:
+            out.append(_shade(dem[list(dem.keys())[0]]))
+    except Exception:
+        pass
+    try:
+        import gzip
+
+        with gzip.open(os.path.join(base, "s1045.ima.gz")) as f:
+            mri = np.frombuffer(f.read(), np.uint16).astype(np.float32)
+        mri = mri.reshape(256, 256)
+        mri = (mri - mri.min()) / max(mri.max() - mri.min(), 1e-6)
+        out.append(np.repeat(mri[..., None], 3, axis=-1))
+    except Exception:
+        pass
+
+    _PHOTO_SOURCES = out
+    return out
+
+
+def _resized_source(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    from PIL import Image
+
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((w, h), Image.LANCZOS), np.float32) / 255.0
+
+
+def natural_video(
+    n_frames: int,
+    h: int,
+    w: int,
+    *,
+    dx: float = 0.0,
+    dy: float = 0.0,
+    deg_per_frame: float = 0.0,
+    scale_per_frame: float = 1.0,
+    gain_per_frame: float = 1.0,
+    fg_step: float = 0.0,
+    seed: int = 0,
+):
+    """Rigid motion over bundled natural photographs with exact ground truth.
+
+    One generator covers every training regime over natural sources: pure
+    translation (dx/dy px/frame), rotation about the center, zoom, global
+    brightness decay, and — with `fg_step` nonzero — a two-layer occlusion
+    scene whose foreground square is cut from a SECOND photo and translates
+    independently over the background (same screen-space mask convention as
+    `occlusion_video`).  The source photo(s), their flips, and the motion
+    direction are drawn from `seed`; sampling uses the same bilinear warp
+    as the texture regimes so photo and texture pools differ only in image
+    statistics."""
+    rng = np.random.default_rng(seed)
+    pool = photo_sources()
+
+    def _pick():
+        img = pool[int(rng.integers(len(pool)))]
+        if rng.random() < 0.5:
+            img = img[:, ::-1]
+        if rng.random() < 0.5:
+            img = img[::-1]
+        return img
+
+    step_max = max(abs(dx), abs(dy), abs(fg_step))
+    rot_margin = 0.21 * max(h, w) if deg_per_frame else 0.0
+    zoom_margin = (
+        (max(scale_per_frame ** (n_frames - 1), 1.0) - 1.0) * 0.5 * max(h, w)
+        if scale_per_frame != 1.0
+        else 0.0
+    )
+    margin = int(np.ceil(step_max * n_frames + rot_margin + zoom_margin)) + 2
+    src = _resized_source(_pick(), h + 2 * margin, w + 2 * margin)
+    fg = (
+        _resized_source(_pick(), h + 2 * margin, w + 2 * margin)
+        if fg_step
+        else None
+    )
+
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    yy, xx = _warp_grid(h, w)
+    sq_y0, sq_y1 = h // 4, 3 * h // 4
+    sq_x0, sq_x1 = w // 4, 3 * w // 4
+    frames = []
+    for i in range(n_frames):
+        a = np.deg2rad(deg_per_frame * i)
+        s = scale_per_frame ** (-i)
+        ys = cy + ((yy - cy) * np.cos(a) - (xx - cx) * np.sin(a)) * s + dy * i
+        xs = cx + ((yy - cy) * np.sin(a) + (xx - cx) * np.cos(a)) * s + dx * i
+        frame = _sample_bilinear(src, ys + margin, xs + margin)
+        if fg is not None:
+            fgs = _sample_bilinear(fg, yy + margin, xx + margin + i * fg_step)
+            fx = xx + i * fg_step
+            mask = (
+                (yy >= sq_y0) & (yy < sq_y1) & (fx >= sq_x0) & (fx < sq_x1)
+            ).astype(np.float32)[..., None]
+            frame = mask * fgs + (1 - mask) * frame
+        if gain_per_frame != 1.0:
+            frame = np.clip(frame * gain_per_frame**i, 0.0, 1.0)
+        frames.append(frame.astype(np.float32))
+    return np.stack(frames)
+
+
+def benchmark_sets(dim: int = 512, n_frames: int = 4, seed_offset: int = 0):
     """The full synthetic benchmark: one set per motion regime (the regimes
-    the reference's README motivates the fusion with)."""
+    the reference's README motivates the fusion with).  `seed_offset` shifts
+    every regime's texture/motion seed so independent replicas of the suite
+    can be drawn (the widened dominance eval scores 3 seeds per regime;
+    sub-dB conclusions on a single 2-triplet draw are noise-fragile)."""
+    o = seed_offset
     return {
-        "translation": translation_video(n_frames, dim, dim, step=4.0, seed=0),
-        "large_motion": large_motion_video(n_frames, dim, dim),
-        "rotation": rotation_video(n_frames, dim, dim, deg_per_frame=1.5),
-        "zoom": zoom_video(n_frames, dim, dim, scale_per_frame=1.02),
-        "occlusion": occlusion_video(n_frames, dim, dim),
-        "brightness": brightness_video(n_frames, dim, dim),
+        "translation": translation_video(n_frames, dim, dim, step=4.0, seed=0 + o),
+        "large_motion": large_motion_video(n_frames, dim, dim, seed=5 + o),
+        "rotation": rotation_video(n_frames, dim, dim, deg_per_frame=1.5, seed=1 + o),
+        "zoom": zoom_video(n_frames, dim, dim, scale_per_frame=1.02, seed=2 + o),
+        "occlusion": occlusion_video(n_frames, dim, dim, seed=3 + o),
+        "brightness": brightness_video(n_frames, dim, dim, seed=4 + o),
     }

@@ -117,16 +117,56 @@ class MixedSynthStream:
         w: int = 448,
         seed0: int = 1000,
         workers: int = 8,
+        photo_frac: float = 0.0,
     ):
         from concurrent.futures import ThreadPoolExecutor
 
         self._items = [None] * n
+
+        def gen_photo(i, rng, k):
+            """Same continuous regime jitter, natural-photo sources
+            (synth.natural_video over the bundled photo pool) — the
+            offline stand-in for the reference's Vimeo90k diet."""
+            from ..eval import synth
+
+            angle = rng.uniform(0, 2 * np.pi)
+            if k == 0:
+                step = rng.uniform(0.25, 8.0)
+                kw = dict(dx=step * np.cos(angle), dy=step * np.sin(angle))
+            elif k == 1:
+                step = rng.uniform(8.0, 28.0)
+                kw = dict(
+                    dx=step * (1.0 if rng.random() < 0.5 else -1.0),
+                    dy=rng.uniform(-4, 4),
+                )
+            elif k == 2:
+                kw = dict(deg_per_frame=rng.uniform(0.25, 2.5))
+            elif k == 3:
+                kw = dict(scale_per_frame=rng.uniform(1.003, 1.028))
+            elif k == 4:
+                kw = dict(
+                    fg_step=rng.uniform(1.0, 8.0)
+                    * (1 if rng.random() < 0.5 else -1),
+                    dx=rng.uniform(-4.0, 4.0),
+                )
+            else:
+                step = rng.uniform(0.5, 4.0)
+                kw = dict(
+                    dx=step * np.cos(angle),
+                    dy=step * np.sin(angle),
+                    gain_per_frame=rng.uniform(0.88, 0.97),
+                )
+            return synth.natural_video(3, h, w, seed=seed0 + i, **kw)
 
         def gen(i):
             from ..eval import synth
 
             rng = np.random.default_rng(seed0 + i)
             k = i % 6
+            if rng.random() < photo_frac:
+                v = gen_photo(i, rng, k)
+                self._items[i] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                return
             angle = rng.uniform(0, 2 * np.pi)
             if k == 0:  # translation, step in [0.25, 8] px/frame, any direction
                 step = rng.uniform(0.25, 8.0)
@@ -177,6 +217,10 @@ class MixedSynthStream:
                 )
             self._items[i] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
+        if photo_frac > 0.0:
+            from ..eval import synth
+
+            synth.photo_sources()  # warm the cache before the thread fan-out
         with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(gen, range(n)))
 

@@ -1,19 +1,24 @@
 """Evaluate a trained demo stack (stage-A AdaCoF + stage-B FusionNet) on the
-six-regime synthetic benchmark and decide promotion.
+widened multi-seed synthetic benchmark and decide promotion.
 
-Dominance criterion (VERDICT r2 next-step #1): the fused output must score
->= max(phase, adacof) - 0.2 dB on >= 6/8 sets AND have the strictly best
-mean PSNR.  --promote copies the weights into checkpoints/ only when the
-criterion holds.
+Dominance criterion (VERDICT r2 next-step #1, widened r4 per VERDICT r3 #4):
+the fused output must score >= max(phase, adacof) - 0.2 dB on >= 6/8 of the
+regimes (scaled to the regime count) AND have the strictly best mean PSNR.
+Each regime is scored on `--seeds` independent texture/motion draws of
+`--n_frames`-frame sequences (default 3 x 10 triplets = 30 triplets per
+regime; the r3 protocol's 2 triplets/regime made sub-dB margins noise) and
+the photo (natural-statistics) set sits in the headline table.  --promote
+copies the weights into checkpoints/ only when the criterion holds.
 
 Run ON TPU: env PYTHONPATH=/root/repo:/root/.axon_site \
     python tools/eval_demo_stack.py --adacof runs/demo_stack/adacof_best.msgpack \
-        --fusion runs/demo_stack/fusion_best.msgpack --out results_r3
+        --fusion runs/demo_stack_r4/fusion_best.msgpack --out results_r4
 """
 
 import argparse
 import json
 import os
+import re
 import shutil
 import sys
 
@@ -22,10 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 parser = argparse.ArgumentParser()
 parser.add_argument("--adacof", required=True, help="AdaCoF weights (msgpack)")
 parser.add_argument("--fusion", required=True, help="FusionNet weights (msgpack)")
-parser.add_argument("--out", default="results_r3")
+parser.add_argument("--out", default="results_r4")
 parser.add_argument("--dim", type=int, default=512)
-parser.add_argument("--max_num", type=int, default=2)
+parser.add_argument("--n_frames", type=int, default=12,
+                    help="frames per sequence (n_frames-2 triplets each)")
+parser.add_argument("--seeds", type=int, default=3,
+                    help="independent draws per regime")
+parser.add_argument("--max_num", type=int, default=10,
+                    help="triplets scored per (regime, seed)")
 parser.add_argument("--margin", type=float, default=0.2)
+parser.add_argument("--no_photo", action="store_true",
+                    help="drop the natural-statistics photo set from the table")
 parser.add_argument("--promote", action="store_true",
                     help="copy into checkpoints/ if the criterion holds")
 parser.add_argument("--cpu", action="store_true")
@@ -38,7 +50,7 @@ if args.cpu:
 
 import numpy as np
 
-from fmvfi_tpu.eval.evaluate import evaluate_suite
+from fmvfi_tpu.eval.evaluate import evaluate_suite, synthetic_sets
 from fmvfi_tpu.pipeline.interpolate import FusionWeights
 from fmvfi_tpu.utils.convert import (
     load_adacof_weights,
@@ -52,47 +64,83 @@ weights = FusionWeights(
     fusion_net=load_fusion_weights(args.fusion),
 )
 
+sets = synthetic_sets(
+    args.dim,
+    n_frames=args.n_frames,
+    include_photo=not args.no_photo,
+    seeds=tuple(range(args.seeds)),
+)
+
 summary = evaluate_suite(
     weights,
     args.out,
+    sets=sets,
     methods=("fusion", "phase", "adacof"),
     dim=args.dim,
     max_num=args.max_num,
     overwrite=True,
+    visualize=False,  # 27+ sets; panels are a separate, single-seed pass
 )
 
-rows, wins, means = [], 0, {"fusion": [], "phase": [], "adacof": []}
-for name, by_method in summary.items():
-    psnr = {m: by_method[m]["psnr"] for m in ("fusion", "phase", "adacof")}
+METHODS = ("fusion", "phase", "adacof")
+
+# group <regime>@s<k> keys (bare names if seeds == 1) by regime
+by_regime = {}
+for key, by_method in summary.items():
+    regime = re.sub(r"@s\d+$", "", key)
+    by_regime.setdefault(regime, []).append(
+        {m: by_method[m]["psnr"] for m in METHODS}
+    )
+
+rows, wins, means = [], 0, {m: [] for m in METHODS}
+for regime, draws in by_regime.items():
+    stat = {
+        m: (
+            float(np.mean([d[m] for d in draws])),
+            float(np.std([d[m] for d in draws])),
+        )
+        for m in METHODS
+    }
+    psnr = {m: stat[m][0] for m in METHODS}
     best_component = max(psnr["phase"], psnr["adacof"])
     ok = psnr["fusion"] >= best_component - args.margin
     wins += ok
-    for m, v in psnr.items():
-        means[m].append(v)
-    rows.append((name, psnr, ok))
+    for m in METHODS:
+        means[m].append(psnr[m])
+    rows.append((regime, stat, ok))
 
-print(f"\n{'set':<16} {'fusion':>8} {'phase':>8} {'adacof':>8}  dominates?")
-for name, psnr, ok in rows:
-    print(f"{name:<16} {psnr['fusion']:>8.2f} {psnr['phase']:>8.2f} "
-          f"{psnr['adacof']:>8.2f}  {'YES' if ok else 'no'}")
+print(f"\n{'set':<16} {'fusion':>14} {'phase':>14} {'adacof':>14}  dominates?")
+for regime, stat, ok in rows:
+    cells = "".join(
+        f" {stat[m][0]:>8.2f}±{stat[m][1]:<4.2f}" for m in METHODS
+    )
+    print(f"{regime:<16}{cells}  {'YES' if ok else 'no'}")
 mean = {m: float(np.mean(v)) for m, v in means.items()}
 strictly_best = mean["fusion"] > max(mean["phase"], mean["adacof"])
-print(f"{'MEAN':<16} {mean['fusion']:>8.2f} {mean['phase']:>8.2f} "
-      f"{mean['adacof']:>8.2f}  best={'fusion' if strictly_best else 'component'}")
+print(f"{'MEAN':<16} {mean['fusion']:>13.2f} {mean['phase']:>14.2f} "
+      f"{mean['adacof']:>14.2f}  best={'fusion' if strictly_best else 'component'}")
 # criterion stated for the 8-set suite (>= 6/8 within margin), scaled to n
 n = len(rows)
 passed = (wins >= (6 * n + 7) // 8) and strictly_best
-print(f"\ndominance: {wins}/{n} sets within {args.margin} dB of the best "
-      f"component; mean strictly best: {strictly_best} -> "
+print(f"\ndominance: {wins}/{n} regimes within {args.margin} dB of the best "
+      f"component (mean over {args.seeds} seeds x {args.max_num} triplets); "
+      f"mean strictly best: {strictly_best} -> "
       f"{'PASS' if passed else 'FAIL'}")
 
 with open(os.path.join(args.out, "dominance.json"), "w") as f:
     json.dump(
         {
-            "sets": {name: psnr for name, psnr, _ in rows},
+            "sets": {
+                regime: {
+                    m: {"mean": stat[m][0], "std": stat[m][1]} for m in METHODS
+                }
+                for regime, stat, _ in rows
+            },
             "mean": mean,
             "wins": wins,
             "n_sets": n,
+            "seeds": args.seeds,
+            "triplets_per_cell": args.max_num * args.seeds,
             "margin_db": args.margin,
             "pass": bool(passed),
             "adacof": args.adacof,

@@ -58,6 +58,10 @@ parser.add_argument("--distill", type=float, default=0.0,
                     help="stage b: weight of the per-sample best-component "
                     "teacher term (anneal to 0 in a final GT-only leg; "
                     "TrainState unchanged, exact resume across the flag)")
+parser.add_argument("--photo_frac", type=float, default=0.0,
+                    help="fraction of pool scenes drawn from the natural-"
+                    "photo sources (synth.natural_video) instead of value-"
+                    "noise textures, same continuous regime jitter")
 args = parser.parse_args()
 
 import jax
@@ -126,12 +130,14 @@ size_tag = (
     "" if (args.pool_h, args.pool_w) == (288, 448)
     else f"_{args.pool_h}x{args.pool_w}"
 )
-cache = os.path.join(args.out, f"pool_{args.pool}{size_tag}_v2.npy")
+photo_tag = f"_p{args.photo_frac:g}" if args.photo_frac > 0 else ""
+cache = os.path.join(args.out, f"pool_{args.pool}{size_tag}{photo_tag}_v2.npy")
 if os.path.exists(cache):
     ds = MixedSynthStream.__new__(MixedSynthStream)
     ds._items = list(np.load(cache))
 else:
-    ds = MixedSynthStream(n=args.pool, h=args.pool_h, w=args.pool_w, seed0=1000)
+    ds = MixedSynthStream(n=args.pool, h=args.pool_h, w=args.pool_w, seed0=1000,
+                          photo_frac=args.photo_frac)
     np.save(cache, np.stack(ds._items))
 print(f"pool ready in {time.time()-t0:.1f}s", flush=True)
 
