@@ -56,6 +56,12 @@ def main():
                     help="batch size: N independent frame streams per "
                     "dispatch (offline rate-doubling throughput; fps counts "
                     "all N)")
+    ap.add_argument("--seq_chunk", type=int, default=0,
+                    help="fusion: run the bandwidth-bound middle sections "
+                    "(PhaseNet/pyramid, uncertainty, baseline) over batch "
+                    "chunks of this size via lax.map inside the jit — "
+                    "bounds peak HBM near the chunk footprint so --bs 2 "
+                    "fits at 1080p (identical math, pinned by tests)")
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
                     help="compute dtype for the conv nets (warp/pyramid stay fp32)")
@@ -141,7 +147,8 @@ def main():
     if args.pipeline == "fusion":
         raw = jax.jit(
             lambda a, b: fusion_interpolate(
-                weights, a, b, filters=filters, compute_dtype=cdt
+                weights, a, b, filters=filters, compute_dtype=cdt,
+                seq_chunk=args.seq_chunk,
             )
         )
     elif args.pipeline == "phase":
@@ -174,6 +181,7 @@ def main():
         "vs_baseline": round(fps / (TARGET_MULTIPLIER * ref_fps), 4),
         "stream": False,
         "batch": bs,
+        "seq_chunk": args.seq_chunk,
     }
     print(json.dumps(result))
 

@@ -213,6 +213,11 @@ def cmd_video(argv):
                         "across consecutive pairs) instead of per-pair")
     p.add_argument("--stream_window", type=int, default=8,
                    help="stream steps per jitted lax.scan dispatch")
+    p.add_argument("--seq_chunk", type=int, default=0,
+                   help="fusion + --batch>1: chunk the bandwidth-bound "
+                        "middle sections to this batch granularity inside "
+                        "the jit (bounds peak HBM; lets --batch 2 fit at "
+                        "1080p on a 16 GB chip)")
     _common(p)
     args = p.parse_args(argv)
 
@@ -226,7 +231,8 @@ def cmd_video(argv):
                                    args.fusion_variant, args.fusion_maps,
                                    factor=args.factor, batch=args.batch,
                                    stream=args.stream,
-                                   stream_window=args.stream_window))
+                                   stream_window=args.stream_window,
+                                   seq_chunk=args.seq_chunk))
     write_frame_dir(args.output_dir, out)
     print(f"wrote {len(out)} frames to {args.output_dir}")
 

@@ -283,6 +283,7 @@ def fusion_interpolate(
     spatial_axis: str = "spatial",
     variant: int = 0,
     uncertainty_maps: int = 3,
+    seq_chunk: int = 0,
 ):
     """The full fusion pipeline (trainer.predict / interp, §3.3 of SURVEY):
 
@@ -306,7 +307,19 @@ def fusion_interpolate(
     default `fusion_net.pt`; (1, 3) is `fusion_net_phase.pt` (residual on
     the PhaseNet prediction); (0, 0) is `fusion_net_nouncertainty.pt` — the
     uncertainty-map section (and AdaCoF's flow-stats tail) is skipped
-    entirely, saving ~45 ms/frame at 1080p."""
+    entirely, saving ~45 ms/frame at 1080p.
+
+    `seq_chunk` (0 = off): run the activation-heavy middle sections
+    (PhaseNet + pyramid decompose/reconstruct, uncertainty maps, the 3-pass
+    baseline composite) over batch chunks of this size under `lax.map`
+    INSIDE the same jit, bounding their peak live activations near the
+    chunk-size footprint while the MXU-bound AdaCoF main pass and FusionNet
+    blend stay fully batched.  Identical math (per-sample-independent
+    sections; pinned by tests/test_pipeline.py::test_fusion_seq_chunk).
+    Those sections are HBM-bandwidth-bound at high resolution, so
+    sequentialising them costs ~no throughput — this is what makes batch>1
+    offline dispatch FIT at 1080p (bs=2 OOMed a 16 GB chip unchunked).
+    Requires b % seq_chunk == 0; incompatible with spatial_mesh."""
     b, full_h, full_w, _ = frame1.shape
     # FusionNet's encoder/decoder needs /8 spatial dims (models/fusion_net.py);
     # AdaCoF already pads itself to /32 internally.  Off-grid inputs are
@@ -343,50 +356,6 @@ def fusion_interpolate(
     if uncertainty_maps:
         flow_var_map = ada_out.uncertainty[..., 0]  # (B, H, W)
 
-    # 2. PhaseNet (Lab domain).  Under a 2-D mesh the frame-stack concat's
-    # INPUTS are pinned to batch-only sharding: pinning only the concat
-    # output (r2) left SPMD free to give the concat an all-device H sharding
-    # and pay an involuntary full rematerialization converting it
-    # (concatenate.307); with the inputs pinned, the (data x spatial) ->
-    # (data x replicated) change is a plain spatial-group all-gather on each
-    # frame and the concat is born batch-sharded.
-    lab1 = rgb_to_lab(frame1)
-    lab2 = rgb_to_lab(frame2)
-    lab_batch = jnp.concatenate(
-        [
-            _wsc(_to_chan_batch(lab1), spatial_mesh, batch_axis),
-            _wsc(_to_chan_batch(lab2), spatial_mesh, batch_axis),
-        ],
-        0,
-    )
-    dec = _phase_net_predict(
-        weights.phase_net,
-        lab_batch,
-        filters,
-        compute_dtype=compute_dtype,
-        spatial_mesh=spatial_mesh,
-        batch_axis=batch_axis,
-    )
-    if spatial_mesh is not None:
-        lab_pred = _shmap_batch(
-            lambda flt, d: reconstruct(d, flt), spatial_mesh, batch_axis, 1
-        )(filters, dec)
-    else:
-        lab_pred = reconstruct(dec, filters)
-    phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
-    phase_pred = _wsc(phase_pred, spatial_mesh, batch_axis, spatial_axis)
-
-    # 3. uncertainty maps (trainer.py:122-146), frequency-domain fast path —
-    # see fusion_uncertainty for the linearity restructuring.  Skipped
-    # entirely for the no-maps ablation (fusion_net_nouncertainty.pt).
-    if uncertainty_maps:
-        ada_uncertainty, phase_uncertainty = fusion_uncertainty(
-            ada_pred, phase_pred, filters, spatial_mesh, batch_axis
-        )
-
-    # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The first
-    # two passes are independent -> ONE batched call (B doubled); all three
-    # passes skip the flow-stats tail (only .blended is consumed).
     adacof_lite = AdaCoFNet(
         kernel_size=kernel_size,
         dilation=dilation,
@@ -399,11 +368,90 @@ def fusion_interpolate(
         batch_axis=batch_axis,
         spatial_axis=spatial_axis,
     )
-    lhs = jnp.concatenate([frame1, phase_pred], axis=0)
-    rhs = jnp.concatenate([phase_pred, frame2], axis=0)
-    mids = adacof_lite.apply(weights.adacof, lhs, rhs).blended
-    in1, in2 = jnp.split(mids, 2, axis=0)
-    base = adacof_lite.apply(weights.adacof, in1, in2).blended
+
+    def _mid_sections(f1, f2, ada_p):
+        """Sections 2-4 — per-sample independent, so they can run whole-batch
+        (inline) or per-chunk under lax.map (seq_chunk)."""
+        # 2. PhaseNet (Lab domain).  Under a 2-D mesh the frame-stack
+        # concat's INPUTS are pinned to batch-only sharding: pinning only the
+        # concat output (r2) left SPMD free to give the concat an all-device
+        # H sharding and pay an involuntary full rematerialization converting
+        # it (concatenate.307); with the inputs pinned, the (data x spatial)
+        # -> (data x replicated) change is a plain spatial-group all-gather
+        # on each frame and the concat is born batch-sharded.
+        lab1 = rgb_to_lab(f1)
+        lab2 = rgb_to_lab(f2)
+        lab_batch = jnp.concatenate(
+            [
+                _wsc(_to_chan_batch(lab1), spatial_mesh, batch_axis),
+                _wsc(_to_chan_batch(lab2), spatial_mesh, batch_axis),
+            ],
+            0,
+        )
+        dec = _phase_net_predict(
+            weights.phase_net,
+            lab_batch,
+            filters,
+            compute_dtype=compute_dtype,
+            spatial_mesh=spatial_mesh,
+            batch_axis=batch_axis,
+        )
+        if spatial_mesh is not None:
+            lab_pred = _shmap_batch(
+                lambda flt, d: reconstruct(d, flt), spatial_mesh, batch_axis, 1
+            )(filters, dec)
+        else:
+            lab_pred = reconstruct(dec, filters)
+        phase_pred = jnp.clip(lab_to_rgb(_from_chan_batch(lab_pred)), 0.0, 1.0)
+        phase_pred = _wsc(phase_pred, spatial_mesh, batch_axis, spatial_axis)
+
+        # 3. uncertainty maps (trainer.py:122-146), frequency-domain fast
+        # path — see fusion_uncertainty for the linearity restructuring.
+        # Skipped entirely for the no-maps ablation
+        # (fusion_net_nouncertainty.pt).
+        unc = (
+            fusion_uncertainty(
+                ada_p, phase_pred, filters, spatial_mesh, batch_axis
+            )
+            if uncertainty_maps
+            else ()
+        )
+
+        # 4. baseline: AdaCoF(AdaCoF(f1, phase), AdaCoF(phase, f2)).  The
+        # first two passes are independent -> ONE batched call (B doubled);
+        # all three passes skip the flow-stats tail (only .blended is
+        # consumed).
+        lhs = jnp.concatenate([f1, phase_pred], axis=0)
+        rhs = jnp.concatenate([phase_pred, f2], axis=0)
+        mids = adacof_lite.apply(weights.adacof, lhs, rhs).blended
+        in1, in2 = jnp.split(mids, 2, axis=0)
+        base = adacof_lite.apply(weights.adacof, in1, in2).blended
+        return phase_pred, lab1, lab2, base, unc
+
+    if seq_chunk and seq_chunk < b:
+        if spatial_mesh is not None:
+            raise ValueError("seq_chunk is incompatible with spatial_mesh")
+        if b % seq_chunk:
+            raise ValueError(f"batch {b} not divisible by seq_chunk {seq_chunk}")
+        n = b // seq_chunk
+
+        def _chunk(x):
+            return x.reshape((n, seq_chunk) + x.shape[1:])
+
+        def _merge(x):
+            return x.reshape((b,) + x.shape[2:])
+
+        outs = jax.lax.map(
+            lambda t: _mid_sections(*t),
+            (_chunk(frame1), _chunk(frame2), _chunk(ada_pred)),
+        )
+        phase_pred, lab1, lab2, base, unc = jax.tree.map(_merge, outs)
+    else:
+        phase_pred, lab1, lab2, base, unc = _mid_sections(
+            frame1, frame2, ada_pred
+        )
+    if uncertainty_maps:
+        ada_uncertainty, phase_uncertainty = unc
 
     # 5. FusionNet blend; other = Lab frames (trainer.py:208), maps order
     # [ada_unc, phase_unc, flow_var] (trainer.py:210)
@@ -443,6 +491,7 @@ def fusion_interpolate(
         "compute_dtype",
         "variant",
         "uncertainty_maps",
+        "seq_chunk",
     ),
 )
 def fusion_interpolate_jit(
@@ -456,6 +505,7 @@ def fusion_interpolate_jit(
     compute_dtype=None,
     variant=0,
     uncertainty_maps=3,
+    seq_chunk=0,
 ):
     return fusion_interpolate(
         weights,
@@ -468,6 +518,7 @@ def fusion_interpolate_jit(
         compute_dtype=compute_dtype,
         variant=variant,
         uncertainty_maps=uncertainty_maps,
+        seq_chunk=seq_chunk,
     )
 
 

@@ -108,7 +108,8 @@ def write_frame_dir(path: str, frames: Sequence[np.ndarray]) -> None:
 
 
 def _interp_fn(weights, h: int, w: int, method: str,
-               variant: int = 0, uncertainty_maps: int = 3):
+               variant: int = 0, uncertainty_maps: int = 3,
+               seq_chunk: int = 0):
     if method == "fusion":
         # fusion_interpolate reflect-pads off-/8 inputs internally, so its
         # filter bank must be built at the PADDED resolution
@@ -121,6 +122,7 @@ def _interp_fn(weights, h: int, w: int, method: str,
             lambda wts, flt, a, b: fusion_interpolate(
                 wts, a, b, filters=flt,
                 variant=variant, uncertainty_maps=uncertainty_maps,
+                seq_chunk=seq_chunk,
             )
         )
         return lambda a, b: jfn(weights, filters, a, b)
@@ -148,7 +150,7 @@ def _interp_fn(weights, h: int, w: int, method: str,
 def double_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, stream: bool = False,
-    batch: int = 1, stream_window: int = 8,
+    batch: int = 1, stream_window: int = 8, seq_chunk: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield the 2x-rate sequence f0, mid01, f1, mid12, f2, ... .
 
@@ -174,7 +176,8 @@ def double_frame_rate(
         return
     if batch > 1:
         yield from _double_frame_rate_batched(
-            frames, weights, method, variant, uncertainty_maps, batch
+            frames, weights, method, variant, uncertainty_maps, batch,
+            seq_chunk=seq_chunk,
         )
         return
     if method == "fusion" and stream:
@@ -203,6 +206,7 @@ def multiply_frame_rate(
     frames: np.ndarray, weights: FusionWeights, method: str = "fusion",
     variant: int = 0, uncertainty_maps: int = 3, factor: int = 2,
     stream: bool = False, batch: int = 1, stream_window: int = 8,
+    seq_chunk: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield the `factor`x-rate sequence by recursive midpoint doubling.
 
@@ -222,6 +226,7 @@ def multiply_frame_rate(
                 double_frame_rate(
                     cur, weights, method, variant, uncertainty_maps,
                     stream=stream, batch=batch, stream_window=stream_window,
+                    seq_chunk=seq_chunk,
                 )
             )
         )
@@ -229,19 +234,23 @@ def multiply_frame_rate(
     yield from double_frame_rate(
         cur, weights, method, variant, uncertainty_maps,
         stream=stream, batch=batch, stream_window=stream_window,
+        seq_chunk=seq_chunk,
     )
 
 
 def _double_frame_rate_batched(
     frames: np.ndarray, weights: FusionWeights, method: str,
-    variant: int, uncertainty_maps: int, batch: int,
+    variant: int, uncertainty_maps: int, batch: int, seq_chunk: int = 0,
 ) -> Iterator[np.ndarray]:
     """Offline-throughput body of double_frame_rate: `batch` consecutive
     pairs per device dispatch, one-deep prefetch, ragged tail padded with
     the last pair (padding results discarded) so every dispatch reuses the
-    same compiled executable."""
+    same compiled executable.  `seq_chunk` bounds the peak memory of the
+    bandwidth-bound middle sections (see fusion_interpolate) so batch>1
+    fits at 1080p on a 16 GB chip."""
     n, h, w, _ = frames.shape
-    fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
+    fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps,
+                    seq_chunk=seq_chunk)
     n_pairs = n - 1
     pending = None  # (valid pair indices, device result)
     for s in range(0, n_pairs, batch):

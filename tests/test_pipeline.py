@@ -210,6 +210,43 @@ def test_fusion_stream_matches_per_pair(triplet):
                 )
 
 
+@needs_ckpts
+def test_fusion_seq_chunk_matches_batched(triplet):
+    """seq_chunk (lax.map over batch chunks of the PhaseNet/uncertainty/
+    baseline sections — the 1080p bs=2 memory fit) is identical math to the
+    fully-batched graph, including return_parts."""
+    from fmvfi_tpu.pipeline.interpolate import fusion_interpolate
+
+    f1, _, f2 = triplet
+    adacof = AdaCoFNet(kernel_size=5, dilation=1)
+    weights = FusionWeights(
+        phase_net=phase_net_from_torch(PHASE_CKPT),
+        adacof=adacof.init(jax.random.key(0), f1, f2),
+        fusion_net=fusion_net_from_torch(FUSION_CKPT),
+    )
+    a = jnp.concatenate([f1, f2])  # batch of 2 distinct pairs
+    b = jnp.concatenate([f2, f1])
+    full, parts_full = jax.jit(
+        lambda x, y: fusion_interpolate(weights, x, y, return_parts=True)
+    )(a, b)
+    chunked, parts_chunk = jax.jit(
+        lambda x, y: fusion_interpolate(
+            weights, x, y, return_parts=True, seq_chunk=1
+        )
+    )(a, b)
+    np.testing.assert_allclose(chunked, full, atol=2e-5)
+    for k in parts_full:
+        np.testing.assert_allclose(
+            parts_chunk[k], parts_full[k], atol=2e-5, err_msg=k
+        )
+    a3 = jnp.concatenate([a, a[:1]])  # b=3: indivisible by chunk 2
+    with pytest.raises(ValueError, match="not divisible"):
+        jax.eval_shape(
+            lambda x, y: fusion_interpolate(weights, x, y, seq_chunk=2),
+            a3, jnp.concatenate([b, b[:1]]),
+        )
+
+
 def test_metrics_sanity():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))

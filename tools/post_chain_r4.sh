@@ -28,4 +28,10 @@ cat "$OUT/bench_stream16.json"
 echo "[post] bs=2"
 $B --bs 2                  > "$OUT/bench_bs2.json" 2>&1 || true
 cat "$OUT/bench_bs2.json"
+echo "[post] bs=2 seq_chunk=1 (memory-fit: middle sections chunked)"
+$B --bs 2 --seq_chunk 1    > "$OUT/bench_bs2_seq1.json" 2>&1 || true
+cat "$OUT/bench_bs2_seq1.json"
+echo "[post] bs=4 seq_chunk=1"
+$B --bs 4 --seq_chunk 1    > "$OUT/bench_bs4_seq1.json" 2>&1 || true
+cat "$OUT/bench_bs4_seq1.json"
 echo "[post] done"
