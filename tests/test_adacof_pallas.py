@@ -144,6 +144,7 @@ def test_pallas_large_kernel_parity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_adacofnet_large_kernel_trains():
     """Model-level ks=11/dilation=2 (the published large-kernel regime):
     forward shape, bounded output, and finite gradients through the

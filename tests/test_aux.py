@@ -33,7 +33,8 @@ def test_discriminators_shapes():
 
 @pytest.mark.parametrize(
     "gan_type",
-    [pytest.param("GAN", marks=pytest.mark.slow), "WGAN", "WGAN_GP", "FI_GAN"],
+    [pytest.param("GAN", marks=pytest.mark.slow), "WGAN",
+     pytest.param("WGAN_GP", marks=pytest.mark.slow), "FI_GAN"],
 )
 def test_adversarial_step(gan_type):
     from fmvfi_tpu.train.adversarial import Adversarial

@@ -51,7 +51,10 @@ def frames():
     )
 
 
-@pytest.mark.parametrize("method", ["adacof", "phase", "fusion"])
+@pytest.mark.parametrize(
+    "method",
+    ["adacof", "phase", pytest.param("fusion", marks=pytest.mark.slow)],
+)
 def test_export_roundtrip_matches_live(tmp_path, weights, frames, method):
     f1, f2 = frames
     blob = export_pipeline(weights, H, W, method)
@@ -72,6 +75,7 @@ def test_export_roundtrip_matches_live(tmp_path, weights, frames, method):
     assert got.shape == (1, H, W, 3)
 
 
+@pytest.mark.slow
 def test_export_fusion_off_grid(weights):
     """Off-/8 sizes export too: fusion_interpolate reflect-pads internally,
     so the export must build its filter bank at the PADDED resolution (the

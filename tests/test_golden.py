@@ -62,7 +62,6 @@ def test_golden_fusion_and_adacof_128(weights):
 
 
 @needs_ckpts
-@pytest.mark.slow
 def test_golden_phase_256(weights):
     from fmvfi_tpu.eval.synth import translation_triplet
     from fmvfi_tpu.pipeline.interpolate import phase_interpolate
@@ -101,7 +100,6 @@ def test_golden_phase_nonsquare_96x160():
 
 
 @needs_ckpts
-@pytest.mark.slow
 def test_bf16_pipeline_quality_guard(weights):
     """bench.py's headline number runs the conv nets in bfloat16
     (--dtype bf16).  Guard that honesty: the bf16 pipeline must stay close

@@ -177,6 +177,7 @@ def test_multihost_helpers_single_process():
     assert len(g.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_2d_phase_interpolate_matches_single_device():
     """phase_interpolate under the 2-D mesh (shard_mapped FFT sections)."""
     from fmvfi_tpu.models.phase_net import PhaseNetCore, normalize_inputs
@@ -344,6 +345,7 @@ def test_adacof_spatial_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_halo_exchange_warp_matches_single_device():
     """adacof_warp_tm_sharded (explicit ppermute halo exchange + per-device
     fast warp) must be bit-equal to the single-device clipped warp — forward
@@ -388,6 +390,7 @@ def test_halo_exchange_warp_matches_single_device():
         adacof_warp_tm_sharded(x, w, a, b, d, make_mesh(8, ("data", "spatial"), (2, 4)), max_offset=12)
 
 
+@pytest.mark.slow
 def test_adacof_model_routes_sharded_warp():
     """Under a 2-D mesh AdaCoFNet routes the warp through the halo-exchange
     shard_map (H large enough) and matches the single-device model."""

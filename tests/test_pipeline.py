@@ -51,6 +51,7 @@ def test_phase_interpolation_beats_frame_average(triplet):
     assert p_net > p_avg + 1.0, f"phase {p_net:.2f} vs avg {p_avg:.2f}"
 
 
+@pytest.mark.slow
 @needs_ckpts
 def test_fusion_pipeline_runs_and_is_sane(triplet):
     """Full 5-model fusion graph: with converted PhaseNet+FusionNet and a
@@ -126,6 +127,7 @@ def test_fusion_variant_and_nomaps_modes(triplet):
     assert float(jnp.abs(out_def - out_ph).max()) > 1e-3
 
 
+@pytest.mark.slow
 @needs_ckpts
 def test_fusion_arbitrary_resolution():
     """Off-/8-grid inputs must pad-and-crop, not assert (the reference dodges
@@ -210,6 +212,7 @@ def test_fusion_stream_matches_per_pair(triplet):
                 )
 
 
+@pytest.mark.slow
 @needs_ckpts
 def test_fusion_seq_chunk_matches_batched(triplet):
     """seq_chunk (lax.map over batch chunks of the PhaseNet/uncertainty/

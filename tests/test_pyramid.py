@@ -51,7 +51,10 @@ def _natural_img(n, h, w, seed=0):
 
 
 @pytest.mark.parametrize(
-    "h,w,height", [(64, 64, 6), (256, 256, 12), (128, 192, 10)]
+    "h,w,height",
+    [(64, 64, 6),
+     pytest.param(256, 256, 12, marks=pytest.mark.slow),
+     (128, 192, 10)],
 )
 def test_roundtrip(h, w, height):
     f = make_filters(h, w, height=height)

@@ -47,6 +47,7 @@ def weights():
     )
 
 
+@pytest.mark.slow
 @needs_ckpts
 def test_interp_fn_fusion_off_grid(weights):
     f1, _, f2 = translation_triplet(92, 148, dx=1.5, dy=0.0, seed=6)

@@ -88,6 +88,7 @@ def test_phase_train_step_reduces_loss():
     assert out.shape == (3, 64, 64)  # B=1 -> 3 lab channel-images
 
 
+@pytest.mark.slow
 def test_fusion_train_step_runs():
     rng = jax.random.key(0)
     from fmvfi_tpu.models.adacof import AdaCoFNet
