@@ -34,4 +34,7 @@ cat "$OUT/bench_bs2_seq1.json"
 echo "[post] bs=4 seq_chunk=1"
 $B --bs 4 --seq_chunk 1    > "$OUT/bench_bs4_seq1.json" 2>&1 || true
 cat "$OUT/bench_bs4_seq1.json"
+echo "[post] stream w16 bs=2 (stream + batch combined)"
+$B --stream --stream_window 16 --bs 2 > "$OUT/bench_stream16_bs2.json" 2>&1 || true
+cat "$OUT/bench_stream16_bs2.json"
 echo "[post] done"
