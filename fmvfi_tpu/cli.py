@@ -90,7 +90,9 @@ def _load_weights(args, h, w):
     # fusion_net/train.py:79).  Explicit flags override.
     name = os.path.basename(fusion_ckpt)
     if getattr(args, "fusion_variant", -1) < 0:
-        args.fusion_variant = 1 if "phase" in name else 0
+        args.fusion_variant = (
+            2 if "blend" in name else 1 if "phase" in name else 0
+        )
     if getattr(args, "fusion_maps", -1) < 0:
         args.fusion_maps = 0 if "nouncertainty" in name else 3
     return FusionWeights(
@@ -99,7 +101,8 @@ def _load_weights(args, h, w):
         ),
         adacof=ada,
         fusion_net=(
-            load_fusion_weights(fusion_ckpt, uncertainty_maps=args.fusion_maps)
+            load_fusion_weights(fusion_ckpt, uncertainty_maps=args.fusion_maps,
+                                variant=args.fusion_variant)
             if need_fusion
             else None
         ),
@@ -115,10 +118,13 @@ def _common(p):
         "--fusion_checkpoint", default="/root/reference/src/fusion_net/fusion_net.pt"
     )
     p.add_argument("--adacof_checkpoint", default="")
-    p.add_argument("--fusion_variant", type=int, default=-1, choices=[-1, 0, 1],
-                   help="FusionNet residual base: 0 = baseline composite, "
-                        "1 = phase prediction (fusion_net_phase.pt); "
-                        "-1 = auto from checkpoint name")
+    p.add_argument("--fusion_variant", type=int, default=-1,
+                   choices=[-1, 0, 1, 2],
+                   help="FusionNet head: 0 = residual over the baseline "
+                        "composite, 1 = residual over the phase prediction "
+                        "(fusion_net_phase.pt), 2 = gated-blend head "
+                        "(beyond-reference; *blend*.msgpack); -1 = auto "
+                        "from checkpoint name")
     p.add_argument("--fusion_maps", type=int, default=-1, choices=[-1, 0, 3],
                    help="uncertainty-map channels: 3 = full, 0 = no-maps "
                         "ablation (fusion_net_nouncertainty.pt); -1 = auto "

@@ -9,6 +9,20 @@ or clamp(phase + res, 0, 1) (variant 1) per fusion_net.py:69-77.
 
 The reference file also contains an unused 4-conv `self.net` Sequential
 (fusion_net.py:11-20) and a residual-logging side effect — both dropped.
+
+Variant 2 (beyond-reference, opt-in) is a gated-blend head: the final 1x1
+conv emits 6 channels — 3 per-pixel selection logits over {base, adacof,
+phase} and 3 residual channels — and the output is the softmax-weighted
+convex combination of the three candidate frames plus a residual that is
+muted by the selection confidence (scaled by 1 - max weight).  Rationale:
+the reference head (tanh residual over `base`) must PREDICT the difference
+image `component - base` to ~2.5e-3 RMSE to track a near-perfect component
+(a 45+ dB reproduction), which gradient training approaches only
+asymptotically; with the blend head, copying a component is representable
+EXACTLY by saturating one logit, and the residual automatically vanishes
+there, so tracking regimes stop competing with mixing regimes for output-
+space fidelity.  Variants 0/1 are bit-identical to before and remain the
+published-checkpoint-compatible defaults.
 """
 
 from __future__ import annotations
@@ -16,6 +30,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import max_pool2, upsample2x
@@ -63,11 +78,28 @@ class FusionNet(nn.Module):
 
         x = _rconv(x, 128, 3, "bottleneck", self.dtype)
 
-        dec_specs = [(64, 5), (32, 5), (3, 1)]
+        dec_specs = [(64, 5), (32, 5), (6 if variant == 2 else 3, 1)]
         for i, ((c, k), s) in enumerate(zip(dec_specs, skips[::-1])):
             x = upsample2x(nn.relu(x), align_corners=False)
             x = x + s
             x = _rconv(x, c, k, f"dec{i}", self.dtype)
+
+        if variant == 2:
+            y = x.astype(jnp.float32)
+            # per-pixel convex selection over {base, adacof, phase}; the
+            # residual is muted by the selection confidence so a saturated
+            # logit reproduces the selected component exactly
+            wgt = jax.nn.softmax(y[..., :3], axis=-1)
+            res = jnp.tanh(y[..., 3:]) * (
+                1.0 - jnp.max(wgt, axis=-1, keepdims=True)
+            )
+            out = (
+                wgt[..., 0:1] * base
+                + wgt[..., 1:2] * adacof
+                + wgt[..., 2:3] * phase
+                + res
+            )
+            return jnp.clip(out, 0.0, 1.0)
 
         res = jnp.tanh(x.astype(jnp.float32))
         out = phase + res if variant == 1 else base + res

@@ -154,8 +154,11 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
     return {"params": params}
 
 
-def load_fusion_weights(path: str, uncertainty_maps: int = 3):
-    """Load FusionNet weights from fusion_net*.pt OR an fmvfi msgpack file."""
+def load_fusion_weights(path: str, uncertainty_maps: int = 3,
+                        variant: int = 0):
+    """Load FusionNet weights from fusion_net*.pt OR an fmvfi msgpack file.
+    `variant` shapes the template head (variant 2's final 1x1 conv emits 6
+    channels instead of 3)."""
     if path.endswith(".msgpack"):
         import jax
         import jax.numpy as jnp
@@ -167,9 +170,32 @@ def load_fusion_weights(path: str, uncertainty_maps: int = 3):
         template = FusionNet(uncertainty_maps=uncertainty_maps).init(
             jax.random.key(0), z, z, z, jnp.zeros((1, 64, 64, 6)),
             jnp.zeros((1, 64, 64, uncertainty_maps)),
+            variant,
         )
         return load_msgpack(path, template)
     return fusion_net_from_torch(path)
+
+
+def merge_matching_params(new, old):
+    """Cross-architecture warm start: return `new` with every leaf whose
+    shape matches replaced by the corresponding `old` leaf.  Trees must have
+    the same structure (same module names); only reshaped heads stay fresh —
+    e.g. a variant-2 (gated-blend) FusionNet warm-started from a variant-0
+    msgpack keeps everything except the widened dec2 1x1 conv, whose fresh
+    near-zero init makes the blend start at the component mean with a muted
+    residual.  Returns (merged, fresh_leaf_paths)."""
+    import jax
+
+    fresh = []
+
+    def _pick(path, n, o):
+        if hasattr(o, "shape") and getattr(o, "shape", None) == n.shape:
+            return o
+        fresh.append(jax.tree_util.keystr(path))
+        return n
+
+    merged = jax.tree_util.tree_map_with_path(_pick, new, old)
+    return merged, fresh
 
 
 def load_adacof_weights(path: str, kernel_size: int = 5, dilation: int = 1):

@@ -83,6 +83,69 @@ def test_fusion_net_init_structure_matches_conversion():
     assert a == b
 
 
+def test_fusion_net_variant2_gated_blend():
+    """Variant 2 (gated-blend head): the final 1x1 conv emits 3 selection
+    logits + 3 residual channels; output is the per-pixel softmax blend of
+    {base, adacof, phase} plus a confidence-muted residual.  Key property:
+    a saturated logit reproduces the selected component EXACTLY (the whole
+    point of the variant — tracking a near-perfect component stops requiring
+    the residual head to predict a difference image to 2.5e-3 RMSE)."""
+    model = FusionNet()
+    rng = np.random.default_rng(1)
+    base = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    ada = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    phase = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    other = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 6)).astype(np.float32))
+    maps = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+
+    v = model.init(jax.random.key(0), base, ada, phase, other, maps, 2)
+    # head widened to 6 channels; every other layer matches variant 0
+    assert v["params"]["dec2"]["kernel"].shape == (1, 1, 32, 6)
+    v0 = model.init(jax.random.key(0), base, ada, phase, other, maps, 0)
+    for name in v0["params"]:
+        if name != "dec2":
+            assert (
+                jax.tree.map(lambda x: x.shape, v0["params"][name])
+                == jax.tree.map(lambda x: x.shape, v["params"][name])
+            )
+
+    out = model.apply(v, base, ada, phase, other, maps, 2)
+    assert out.shape == (2, 16, 16, 3)
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    # saturate the adacof logit: zero the head kernel, bias = [0, K, 0 | 0s]
+    params = jax.tree.map(lambda x: x, v["params"])  # shallow copy
+    params["dec2"] = {
+        "kernel": jnp.zeros_like(v["params"]["dec2"]["kernel"]),
+        "bias": jnp.array([0.0, 40.0, 0.0, 0.3, -0.7, 0.5], jnp.float32),
+    }
+    out = model.apply({"params": params}, base, ada, phase, other, maps, 2)
+    # softmax weight on adacof = 1 - 2e-40; residual muted by (1 - max w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ada), atol=1e-6)
+
+
+def test_merge_matching_params_cross_variant():
+    """Warm-starting a variant-2 net from variant-0 weights keeps every
+    layer except the widened dec2 head (utils.convert.merge_matching_params,
+    used by tools/train_demo_stack.py --fusion_variant 2 --fusion_init)."""
+    from fmvfi_tpu.utils.convert import merge_matching_params
+
+    model = FusionNet()
+    z3 = jnp.zeros((1, 16, 16, 3))
+    a = (z3, z3, z3, jnp.zeros((1, 16, 16, 6)), z3)
+    v0 = model.init(jax.random.key(0), *a, 0)
+    v2 = model.init(jax.random.key(1), *a, 2)
+    merged, fresh = merge_matching_params(v2["params"], v0["params"])
+    assert fresh == ["['dec2']['bias']", "['dec2']['kernel']"]
+    for name in v0["params"]:
+        for leaf in v0["params"][name]:
+            src = v2 if name == "dec2" else v0
+            np.testing.assert_array_equal(
+                np.asarray(merged[name][leaf]),
+                np.asarray(src["params"][name][leaf]),
+            )
+
+
 def test_fusion_net_variant1_no_maps():
     model = FusionNet(uncertainty_maps=0)
     z3 = jnp.ones((1, 16, 16, 3)) * 0.5

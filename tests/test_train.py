@@ -177,6 +177,17 @@ def test_fusion_train_step_runs():
             rng, h, w, phase_vars, ada_vars, loss_psnr=True, loss_balance=True
         )
 
+    # gated-blend head (variant 2) under the campaign objective: the head
+    # is widened to 6 channels and the step runs finite
+    state_v2, step_v2 = make_fusion_trainer(
+        rng, h, w, phase_vars, ada_vars, loss_psnr=True, distill=1.0,
+        variant=2,
+    )
+    assert state_v2.params["dec2"]["kernel"].shape == (1, 1, 32, 6)
+    sv1, mv1 = jax.jit(step_v2)(state_v2, batch2)
+    assert np.isfinite(float(mv1["loss"]))
+    assert int(sv1.step) == 1
+
 
 @pytest.mark.slow
 def test_phase_fusion_mode_and_hierarchical():

@@ -36,6 +36,9 @@ parser.add_argument("--seeds", type=int, default=3,
 parser.add_argument("--max_num", type=int, default=10,
                     help="triplets scored per (regime, seed)")
 parser.add_argument("--margin", type=float, default=0.2)
+parser.add_argument("--fusion_variant", type=int, default=0, choices=[0, 1, 2],
+                    help="FusionNet head variant the weights were trained "
+                    "with (2 = gated-blend head)")
 parser.add_argument("--no_photo", action="store_true",
                     help="drop the natural-statistics photo set from the table")
 parser.add_argument("--promote", action="store_true",
@@ -78,6 +81,7 @@ summary = evaluate_suite(
     methods=("fusion", "phase", "adacof"),
     dim=args.dim,
     max_num=args.max_num,
+    variant=args.fusion_variant,
     overwrite=True,
     visualize=False,  # 27+ sets; panels are a separate, single-seed pass
 )
@@ -145,6 +149,7 @@ with open(os.path.join(args.out, "dominance.json"), "w") as f:
             "pass": bool(passed),
             "adacof": args.adacof,
             "fusion": args.fusion,
+            "fusion_variant": args.fusion_variant,
         },
         f,
         indent=1,

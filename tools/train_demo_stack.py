@@ -54,6 +54,12 @@ parser.add_argument("--loss_psnr", action="store_true",
                     "vanishing gradient at convergence, unlike L1's "
                     "sign-gradient plateau (TrainState unchanged, exact "
                     "resume across the flag)")
+parser.add_argument("--fusion_variant", type=int, default=0, choices=[0, 1, 2],
+                    help="stage b: FusionNet head variant (2 = gated-blend "
+                    "head: per-pixel softmax selection over {base, adacof, "
+                    "phase} + confidence-muted residual; warm starts from a "
+                    "variant-0 msgpack keep every layer except the reshaped "
+                    "final 1x1 conv)")
 parser.add_argument("--distill", type=float, default=0.0,
                     help="stage b: weight of the per-sample best-component "
                     "teacher term (anneal to 0 in a final GT-only leg; "
@@ -222,21 +228,30 @@ else:
         rng, args.crop, args.crop, phase_vars, adacof_vars,
         kernel_size=5, dilation=1, lr=args.lr or 1e-4,
         loss_balance=args.loss_balance, distill=args.distill,
-        loss_psnr=args.loss_psnr,
+        loss_psnr=args.loss_psnr, variant=args.fusion_variant,
     )
     if args.fusion_init:
-        from fmvfi_tpu.utils.convert import load_fusion_weights
+        from fmvfi_tpu.utils.convert import (
+            load_fusion_weights,
+            merge_matching_params,
+        )
 
         init = load_fusion_weights(args.fusion_init)
-        state = state._replace(params=init["params"])
-        print(f"fusion warm start: {args.fusion_init}", flush=True)
+        # cross-variant warm start: keep every loaded layer whose shape
+        # matches the freshly-initialized tree (a variant-2 net warm-started
+        # from a variant-0 msgpack keeps all but the reshaped dec2 1x1 conv)
+        merged, fresh = merge_matching_params(state.params, init["params"])
+        state = state._replace(params=merged)
+        print(f"fusion warm start: {args.fusion_init}"
+              + (f" (fresh: {fresh})" if fresh else ""), flush=True)
     jstep = wrap_u8(step)
 
     from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
 
     jfusion = jax.jit(
         lambda fp, a, b: fusion_interpolate(
-            FusionWeights(phase_vars, adacof_vars, {"params": fp}), a, b
+            FusionWeights(phase_vars, adacof_vars, {"params": fp}), a, b,
+            variant=args.fusion_variant,
         )
     )
 
