@@ -36,11 +36,13 @@ import jax.numpy as jnp
 from ..ops.resize import max_pool2, upsample2x
 
 
-def _rconv(x, c_out, k, name, dtype=None):
+def _rconv(x, c_out, k, name, dtype=None, kernel_init=None):
     pad = k // 2
     if pad:
         x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
-    return nn.Conv(c_out, (k, k), padding="VALID", dtype=dtype, name=name)(x)
+    kwargs = {"kernel_init": kernel_init} if kernel_init is not None else {}
+    return nn.Conv(c_out, (k, k), padding="VALID", dtype=dtype, name=name,
+                   **kwargs)(x)
 
 
 class FusionNet(nn.Module):
@@ -82,7 +84,14 @@ class FusionNet(nn.Module):
         for i, ((c, k), s) in enumerate(zip(dec_specs, skips[::-1])):
             x = upsample2x(nn.relu(x), align_corners=False)
             x = x + s
-            x = _rconv(x, c, k, f"dec{i}", self.dtype)
+            # variant 2's head is zero-initialized so training (warm or
+            # from scratch) starts exactly at the component mean with a
+            # zero residual instead of amplifying random logits/residuals
+            # through warm-started decoder features
+            head_init = (
+                nn.initializers.zeros if (variant == 2 and i == 2) else None
+            )
+            x = _rconv(x, c, k, f"dec{i}", self.dtype, head_init)
 
         if variant == 2:
             y = x.astype(jnp.float32)

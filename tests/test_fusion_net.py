@@ -124,6 +124,32 @@ def test_fusion_net_variant2_gated_blend():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ada), atol=1e-6)
 
 
+def test_fusion_net_variant2_zero_init_starts_at_component_mean():
+    """The variant-2 head (dec2) is zero-initialized, so a freshly
+    initialized (or cross-variant warm-started) net outputs EXACTLY the
+    uniform component mean with a zero residual — training never has to
+    first undo random logits/residuals amplified through warm-started
+    decoder features."""
+    model = FusionNet()
+    rng = np.random.default_rng(7)
+    base = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    ada = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    phase = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    other = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 6)).astype(np.float32))
+    maps = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+
+    v = model.init(jax.random.key(3), base, ada, phase, other, maps, 2)
+    assert float(jnp.abs(v["params"]["dec2"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(v["params"]["dec2"]["bias"]).max()) == 0.0
+    out = model.apply(v, base, ada, phase, other, maps, 2)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray((base + ada + phase) / 3.0), atol=1e-6
+    )
+    # variants 0/1 keep the stock initializer (bit-compat with checkpoints)
+    v0 = model.init(jax.random.key(3), base, ada, phase, other, maps, 0)
+    assert float(jnp.abs(v0["params"]["dec2"]["kernel"]).max()) > 0.0
+
+
 def test_merge_matching_params_cross_variant():
     """Warm-starting a variant-2 net from variant-0 weights keeps every
     layer except the widened dec2 head (utils.convert.merge_matching_params,
