@@ -28,6 +28,17 @@ from .synth import translation_video
 
 METRIC_NAMES = ("ssim", "lpips_sub", "psnr", "ssd", "l1", "mean_diff", "var_diff")
 
+# one jitted metrics fn per process (a fresh jax.jit per evaluate_frames call
+# never hits the executable cache — see pipeline.video._jit_core)
+_JMETRICS = None
+
+
+def _jmetrics():
+    global _JMETRICS
+    if _JMETRICS is None:
+        _JMETRICS = jax.jit(jax.vmap(all_metrics))
+    return _JMETRICS
+
 
 def crop_center(img: np.ndarray, dim: int) -> np.ndarray:
     h, w = img.shape[-3:-1]
@@ -77,7 +88,7 @@ def evaluate_frames(
     With return_preds=True the dict also carries "preds": (n, H, W, 3) uint8
     for visualization (avoid with streaming sweeps — it accumulates)."""
     it = iter(frames)  # a 4-D array iterates as (H, W, 3) frames
-    jmetrics = jax.jit(jax.vmap(all_metrics))
+    jmetrics = _jmetrics()
 
     out: Dict[str, List[np.ndarray]] = {k: [] for k in METRIC_NAMES}
     preds_all: List[np.ndarray] = []
@@ -322,7 +333,7 @@ def evaluate_triplets(
     for shape, names in by_shape.items():
         h, w, _ = shape
         fn = _interp_fn(weights, h, w, method, variant, uncertainty_maps)
-        jm = jax.jit(lambda p, t: all_metrics(p, t))
+        jm = _jmetrics()
         for name in names:
             f1, gt, f2 = triplets[name]
             pred = fn(jnp.asarray(f1[None]), jnp.asarray(f2[None]))[0]
@@ -339,8 +350,8 @@ def evaluate_triplets(
                     ),
                 )
             if gt is not None:
-                m = jm(pred, jnp.asarray(gt))
-                results[name] = {k: float(v) for k, v in m.items()}
+                m = jm(pred[None], jnp.asarray(gt)[None])
+                results[name] = {k: float(v[0]) for k, v in m.items()}
                 if lpips_fn is not None:
                     results[name]["lpips_vgg"] = float(
                         lpips_fn(pred, jnp.asarray(gt))

@@ -10,6 +10,7 @@ one-deep prefetch.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable, Iterator, List, Optional, Sequence
 
@@ -107,44 +108,63 @@ def write_frame_dir(path: str, frames: Sequence[np.ndarray]) -> None:
         cv2.imwrite(os.path.join(path, f"{i:05d}.png"), bgr)
 
 
-def _interp_fn(weights, h: int, w: int, method: str,
-               variant: int = 0, uncertainty_maps: int = 3,
-               seq_chunk: int = 0):
+@functools.lru_cache(maxsize=None)
+def _device_filters(h: int, w: int):
+    """Filter bank for (h, w), built once per resolution and kept on device."""
+    return jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_core(method: str, variant: int, uncertainty_maps: int, seq_chunk: int):
+    """One jitted callable per (method, config) for the WHOLE process.
+
+    jax.jit caches compiled executables per function OBJECT: a fresh
+    `jax.jit(lambda ...)` per call site never hits the cache, so an eval
+    sweep over 27 sets x 3 methods paid 81 full XLA recompiles (~90 s each
+    at 512^2 on the remote-compiler platform) — the entire 2.5 h runtime of
+    the r4 widened eval was recompilation.  Memoizing here makes every set
+    after the first reuse one executable per (method, shape)."""
     if method == "fusion":
-        # fusion_interpolate reflect-pads off-/8 inputs internally, so its
-        # filter bank must be built at the PADDED resolution
-        ph, pw = (-h) % 8, (-w) % 8
-        filters = jax.tree.map(
-            jnp.asarray,
-            make_filters(h + ph, w + pw, max_pyr_height(h + ph, w + pw)),
-        )
-        jfn = jax.jit(
+        return jax.jit(
             lambda wts, flt, a, b: fusion_interpolate(
                 wts, a, b, filters=flt,
                 variant=variant, uncertainty_maps=uncertainty_maps,
                 seq_chunk=seq_chunk,
             )
         )
-        return lambda a, b: jfn(weights, filters, a, b)
-    filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
     if method == "phase":
-        jfn = jax.jit(
+        return jax.jit(
             lambda wts, flt, a, b: phase_interpolate(wts, a, b, filters=flt)
         )
-        return lambda a, b: jfn(weights.phase_net, filters, a, b)
     if method == "adacof":
         from .interpolate import adacof_interpolate
 
-        jfn = jax.jit(lambda wts, a, b: adacof_interpolate(wts, a, b))
-        return lambda a, b: jfn(weights.adacof, a, b)
+        return jax.jit(lambda wts, a, b: adacof_interpolate(wts, a, b))
     if method == "baseline":
         from .interpolate import baseline_interpolate
 
-        jfn = jax.jit(
+        return jax.jit(
             lambda wts, flt, a, b: baseline_interpolate(wts, a, b, filters=flt)
         )
-        return lambda a, b: jfn(weights, filters, a, b)
     raise ValueError(f"unknown method {method}")
+
+
+def _interp_fn(weights, h: int, w: int, method: str,
+               variant: int = 0, uncertainty_maps: int = 3,
+               seq_chunk: int = 0):
+    jfn = _jit_core(method, variant, uncertainty_maps, seq_chunk)
+    if method == "fusion":
+        # fusion_interpolate reflect-pads off-/8 inputs internally, so its
+        # filter bank must be built at the PADDED resolution
+        ph, pw = (-h) % 8, (-w) % 8
+        filters = _device_filters(h + ph, w + pw)
+        return lambda a, b: jfn(weights, filters, a, b)
+    if method == "adacof":
+        return lambda a, b: jfn(weights.adacof, a, b)
+    filters = _device_filters(h, w)
+    if method == "phase":
+        return lambda a, b: jfn(weights.phase_net, filters, a, b)
+    return lambda a, b: jfn(weights, filters, a, b)  # baseline
 
 
 def double_frame_rate(

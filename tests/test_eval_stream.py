@@ -57,3 +57,17 @@ def test_stream_stops_at_max_num():
     assert out["psnr"].shape == (2,)
     # 2 triplets need exactly 4 frames; the other 6 were never decoded
     assert len(consumed) == 4
+
+
+def test_interp_fn_reuses_one_jitted_core():
+    """_interp_fn must return closures over ONE process-wide jitted callable
+    per (method, config): a fresh jax.jit(lambda) per call never hits the
+    executable cache, and the r4 widened eval (27 sets x 3 methods) spent
+    its entire 2.5 h runtime recompiling the same three 512^2 graphs."""
+    from fmvfi_tpu.pipeline.video import _device_filters, _jit_core
+
+    assert _jit_core("adacof", 0, 3, 0) is _jit_core("adacof", 0, 3, 0)
+    assert _jit_core("fusion", 0, 3, 0) is _jit_core("fusion", 0, 3, 0)
+    # distinct configs stay distinct (different traced graphs)
+    assert _jit_core("fusion", 2, 3, 0) is not _jit_core("fusion", 0, 3, 0)
+    assert _device_filters(64, 64) is _device_filters(64, 64)
