@@ -204,6 +204,24 @@ def _weights_digest(weights, *config) -> str:
     return hsh.hexdigest()[:10]
 
 
+def _method_cache_key(weights, method: str, variant: int,
+                      uncertainty_maps: int, dim: int, max_num) -> str:
+    """Digest over only the weights (and config) the method actually uses,
+    so adacof/phase results survive a fusion-checkpoint update: a training
+    campaign re-evaluating each new FusionNet against the SAME frozen
+    components otherwise recomputes 2/3 of every suite sweep."""
+    if method == "adacof":
+        return _weights_digest(weights.adacof, method, dim, max_num)
+    if method == "phase":
+        return _weights_digest(weights.phase_net, method, dim, max_num)
+    if method == "baseline":  # uses phase_net + adacof, never the fusion head
+        return _weights_digest(
+            (weights.phase_net, weights.adacof), method, dim, max_num
+        )
+    return _weights_digest(weights, method, variant, uncertainty_maps,
+                           dim, max_num)
+
+
 def evaluate_suite(
     weights,
     out_dir: str,
@@ -229,7 +247,11 @@ def evaluate_suite(
     os.makedirs(out_dir, exist_ok=True)
     if sets is None:
         sets = synthetic_sets(dim)
-    digest = _weights_digest(weights, variant, uncertainty_maps, dim, max_num)
+    digest_by_method = {
+        m: _method_cache_key(weights, m, variant, uncertainty_maps,
+                             dim, max_num)
+        for m in methods
+    }
     summary: Dict[str, Dict[str, Dict[str, float]]] = {}
     for name, frames_src in sets.items():
         # a callable set value (load_set(..., stream=True)) yields a fresh
@@ -242,7 +264,7 @@ def evaluate_suite(
         want_preds = visualize and not streamed
         for method in methods:
             cache = os.path.join(
-                out_dir, f"result_{name}_{method}_{digest}.npz"
+                out_dir, f"result_{name}_{method}_{digest_by_method[method]}.npz"
             )
             if os.path.exists(cache) and not overwrite:
                 data = dict(np.load(cache))

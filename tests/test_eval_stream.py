@@ -71,3 +71,31 @@ def test_interp_fn_reuses_one_jitted_core():
     # distinct configs stay distinct (different traced graphs)
     assert _jit_core("fusion", 2, 3, 0) is not _jit_core("fusion", 0, 3, 0)
     assert _device_filters(64, 64) is _device_filters(64, 64)
+
+
+def test_cache_key_is_per_method_weights():
+    """The suite cache key for adacof/phase must depend only on that
+    method's own weights: a campaign re-evaluating each new FusionNet
+    against the same frozen components must hit the cached component
+    results instead of recomputing 2/3 of the sweep."""
+    import numpy as np
+
+    from fmvfi_tpu.eval.evaluate import _method_cache_key
+    from fmvfi_tpu.pipeline.interpolate import FusionWeights
+
+    ada = {"w": np.arange(8.0)}
+    pn = {"w": np.arange(4.0) + 1}
+    wa = FusionWeights(phase_net=pn, adacof=ada, fusion_net={"w": np.ones(3)})
+    wb = FusionWeights(phase_net=pn, adacof=ada, fusion_net={"w": np.zeros(3)})
+
+    for m in ("adacof", "phase", "baseline"):
+        assert _method_cache_key(wa, m, 0, 3, 64, 2) == \
+            _method_cache_key(wb, m, 0, 3, 64, 2), m
+    # the fusion key must still see the fusion head
+    assert _method_cache_key(wa, "fusion", 0, 3, 64, 2) != \
+        _method_cache_key(wb, "fusion", 0, 3, 64, 2)
+    # and a changed component invalidates its own method
+    wc = FusionWeights(phase_net=pn, adacof={"w": np.arange(8.0) * 2},
+                       fusion_net={"w": np.ones(3)})
+    assert _method_cache_key(wa, "adacof", 0, 3, 64, 2) != \
+        _method_cache_key(wc, "adacof", 0, 3, 64, 2)
