@@ -82,7 +82,11 @@ summary = evaluate_suite(
     dim=args.dim,
     max_num=args.max_num,
     variant=args.fusion_variant,
-    overwrite=True,
+    # overwrite=False: the per-(set, method) caches are keyed on a digest of
+    # exactly the weights that method consumes, so staleness is impossible —
+    # a campaign eval recomputes only the new FusionNet's cells and reuses
+    # the frozen adacof/phase cells (~2/3 of every widened sweep's chip time)
+    overwrite=False,
     visualize=False,  # 27+ sets; panels are a separate, single-seed pass
 )
 
