@@ -187,39 +187,57 @@ def synthetic_sets(
     return sets
 
 
+# Bump whenever the eval/synth/pipeline CODE changes the meaning of a cached
+# number (advisor r4: cache validity depends on code not captured in the
+# weights key; with overwrite=False in campaign tools, code changes between
+# legs could otherwise silently mix old and new numbers in one table).
+_EVAL_PROTOCOL = "r5.1"
+
+
 def _weights_digest(weights, *config) -> str:
-    """Short content key for the result cache.  Without it the cache was
-    keyed only by (set, method): re-evaluating a different checkpoint into
-    the same out_dir silently returned the previous model's numbers."""
+    """Content key for the result cache.  Without it the cache was keyed
+    only by (set, method): re-evaluating a different checkpoint into the
+    same out_dir silently returned the previous model's numbers.  Hashes
+    the FULL leaf bytes (the msgpack trees are a few MB; sha1 over them is
+    milliseconds) so the key is content-exact, plus _EVAL_PROTOCOL so code
+    changes invalidate rather than alias."""
     import hashlib
 
     hsh = hashlib.sha1()
+    hsh.update(_EVAL_PROTOCOL.encode())
     hsh.update("|".join(map(str, config)).encode())
     for leaf in jax.tree_util.tree_leaves(weights):
         a = np.asarray(leaf)
         hsh.update(f"{a.shape}{a.dtype}".encode())
-        flat = a.ravel()
-        if flat.size:
-            hsh.update(flat[:: max(1, flat.size // 64)][:65].tobytes())
+        hsh.update(np.ascontiguousarray(a).tobytes())
     return hsh.hexdigest()[:10]
 
 
 def _method_cache_key(weights, method: str, variant: int,
-                      uncertainty_maps: int, dim: int, max_num) -> str:
+                      uncertainty_maps: int, dim: int, max_num,
+                      cache_token: str = "") -> str:
     """Digest over only the weights (and config) the method actually uses,
     so adacof/phase results survive a fusion-checkpoint update: a training
     campaign re-evaluating each new FusionNet against the SAME frozen
-    components otherwise recomputes 2/3 of every suite sweep."""
+    components otherwise recomputes 2/3 of every suite sweep.
+
+    `cache_token` must encode every set-GENERATION parameter that is not
+    visible in the set name (advisor r4: synthetic frame content depends on
+    n_frames — e.g. translation_video's margin — so two runs into the same
+    out_dir with different --n_frames would otherwise alias)."""
     if method == "adacof":
-        return _weights_digest(weights.adacof, method, dim, max_num)
+        return _weights_digest(weights.adacof, method, dim, max_num,
+                               cache_token)
     if method == "phase":
-        return _weights_digest(weights.phase_net, method, dim, max_num)
+        return _weights_digest(weights.phase_net, method, dim, max_num,
+                               cache_token)
     if method == "baseline":  # uses phase_net + adacof, never the fusion head
         return _weights_digest(
-            (weights.phase_net, weights.adacof), method, dim, max_num
+            (weights.phase_net, weights.adacof), method, dim, max_num,
+            cache_token
         )
     return _weights_digest(weights, method, variant, uncertainty_maps,
-                           dim, max_num)
+                           dim, max_num, cache_token)
 
 
 def evaluate_suite(
@@ -234,6 +252,7 @@ def evaluate_suite(
     lpips_fn=None,
     variant: int = 0,
     uncertainty_maps: int = 3,
+    cache_token: str = "",
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Run the full benchmark suite; caches per (set, method) to
     `<out_dir>/result_<set>_<method>_<weights-digest>.npz`.  Returns
@@ -249,7 +268,7 @@ def evaluate_suite(
         sets = synthetic_sets(dim)
     digest_by_method = {
         m: _method_cache_key(weights, m, variant, uncertainty_maps,
-                             dim, max_num)
+                             dim, max_num, cache_token)
         for m in methods
     }
     summary: Dict[str, Dict[str, Dict[str, float]]] = {}

@@ -82,10 +82,13 @@ summary = evaluate_suite(
     dim=args.dim,
     max_num=args.max_num,
     variant=args.fusion_variant,
-    # overwrite=False: the per-(set, method) caches are keyed on a digest of
-    # exactly the weights that method consumes, so staleness is impossible —
-    # a campaign eval recomputes only the new FusionNet's cells and reuses
+    # overwrite=False: the per-(set, method) caches are keyed on a FULL
+    # digest of exactly the weights that method consumes, the eval-protocol
+    # code version, and cache_token (every set-generation parameter not in
+    # the set name — advisor r4: frame content depends on n_frames), so a
+    # campaign eval recomputes only the new FusionNet's cells and reuses
     # the frozen adacof/phase cells (~2/3 of every widened sweep's chip time)
+    cache_token=f"nf{args.n_frames}",
     overwrite=False,
     visualize=False,  # 27+ sets; panels are a separate, single-seed pass
 )

@@ -64,6 +64,12 @@ parser.add_argument("--distill", type=float, default=0.0,
                     help="stage b: weight of the per-sample best-component "
                     "teacher term (anneal to 0 in a final GT-only leg; "
                     "TrainState unchanged, exact resume across the flag)")
+parser.add_argument("--spot_every", type=int, default=0,
+                    help="stage b: every N steps run a 512^2 spot-probe on "
+                    "the binding regimes (bright/step1/photo) and log the "
+                    "delta vs the frozen components AT EVAL SCALE — the "
+                    "256^2 probe alone let legs 'improve' while the 512^2 "
+                    "criterion stayed short (VERDICT r4). 0 = off")
 parser.add_argument("--photo_frac", type=float, default=0.0,
                     help="fraction of pool scenes drawn from the natural-"
                     "photo sources (synth.natural_video) instead of value-"
@@ -123,10 +129,27 @@ def probe_triplets(s=256):
     out["bright"] = (v[0], v[1], v[2])
     v = synth.translation_video(3, s, s, step=1.0, seed=9008)
     out["step1"] = (v[0], v[1], v[2])
+    # the natural-statistics set IS in the dominance criterion (the r4 photo
+    # gap, fusion -7.2 dB vs phase, was invisible to a probe without it)
+    v = synth.photo_video(3, s, s, seed=9011)
+    out["photo"] = (v[0], v[1], v[2])
     return out
 
 
 PROBES = probe_triplets()
+
+
+def spot_triplets(s=512):
+    """Held-out 512^2 triplets for the binding criterion regimes (seeds
+    disjoint from both the training stream and the eval suite)."""
+    out = {}
+    v = synth.brightness_video(3, s, s, step=2.0, seed=9107)
+    out["bright512"] = (v[0], v[1], v[2])
+    v = synth.translation_video(3, s, s, step=1.0, seed=9108)
+    out["step1_512"] = (v[0], v[1], v[2])
+    v = synth.photo_video(3, s, s, seed=9111)
+    out["photo512"] = (v[0], v[1], v[2])
+    return out
 
 print(f"[{args.stage}] generating {args.pool}-scene mixed stream...", flush=True)
 t0 = time.time()
@@ -211,7 +234,7 @@ if args.stage == "a":
                 {"params": st.params}, jnp.asarray(f1)[None], jnp.asarray(f2)[None]
             )
             vals[name] = round(psnr(pred[0], mid), 2)
-        return vals
+        return vals, {}
 
     def save(st, tag):
         save_msgpack(
@@ -246,7 +269,12 @@ else:
               + (f" (fresh: {fresh})" if fresh else ""), flush=True)
     jstep = wrap_u8(step)
 
-    from fmvfi_tpu.pipeline.interpolate import FusionWeights, fusion_interpolate
+    from fmvfi_tpu.pipeline.interpolate import (
+        FusionWeights,
+        adacof_interpolate,
+        fusion_interpolate,
+        phase_interpolate,
+    )
 
     jfusion = jax.jit(
         lambda fp, a, b: fusion_interpolate(
@@ -254,13 +282,49 @@ else:
             variant=args.fusion_variant,
         )
     )
+    jphase = jax.jit(lambda a, b: phase_interpolate(phase_vars, a, b))
+    jada = jax.jit(lambda a, b: adacof_interpolate(adacof_vars, a, b))
+
+    def _component_best(triplets):
+        """Per-regime max(phase, adacof) PSNR — the criterion's reference
+        quantity (computed ONCE; the components are frozen all stage)."""
+        best = {}
+        for name, (f1, mid, f2) in triplets.items():
+            a, b = jnp.asarray(f1)[None], jnp.asarray(f2)[None]
+            best[name] = round(
+                max(psnr(jphase(a, b)[0], mid), psnr(jada(a, b)[0], mid)), 2
+            )
+        return best
+
+    print("[b] probing frozen components (criterion reference)...", flush=True)
+    COMP_BEST = _component_best(PROBES)
+    print(f"component best per regime: {COMP_BEST}", flush=True)
+    SPOTS = spot_triplets() if args.spot_every else {}
+    SPOT_BEST = None  # lazily computed at the first spot probe
 
     def run_probe(st):
-        vals = {}
+        """Probe PSNR per regime PLUS the criterion's quantity: delta vs the
+        frozen best component (VERDICT r4 #3 — legs were steered by raw
+        mean while the pass/fail margin is per-regime delta)."""
+        vals, deltas = {}, {}
         for name, (f1, mid, f2) in PROBES.items():
             pred = jfusion(st.params, jnp.asarray(f1)[None], jnp.asarray(f2)[None])
             vals[name] = round(psnr(pred[0], mid), 2)
-        return vals
+            deltas[name] = round(vals[name] - COMP_BEST[name], 2)
+        return vals, deltas
+
+    def run_spot(st):
+        global SPOT_BEST
+        if SPOT_BEST is None:
+            print("[b] probing components at 512^2 (one-time)...", flush=True)
+            SPOT_BEST = _component_best(SPOTS)
+            log({"spot_component_best": SPOT_BEST})
+        vals, deltas = {}, {}
+        for name, (f1, mid, f2) in SPOTS.items():
+            pred = jfusion(st.params, jnp.asarray(f1)[None], jnp.asarray(f2)[None])
+            vals[name] = round(psnr(pred[0], mid), 2)
+            deltas[name] = round(vals[name] - SPOT_BEST[name], 2)
+        return vals, deltas
 
     def save(st, tag):
         save_msgpack(
@@ -300,7 +364,25 @@ if start_step:
 batches = u8_batches(ds._items, args.batch, args.crop, seed=7 + start_step)
 t_start = time.time()
 losses = []
-best_mean = -1.0
+
+MARGIN = 0.2  # the dominance margin (eval_demo_stack --margin default)
+
+
+def probe_key(vals, deltas):
+    """Checkpoint-selection key, ordered by distance to the DOMINANCE
+    criterion (VERDICT r4 #3: raw probe mean let legs 'improve' while the
+    binding per-regime margins stayed short).  Primary: mean shortfall below
+    the margin, 0 when every regime is within 0.2 dB of its best component;
+    tie-break: raw mean PSNR (the criterion's strictly-best-mean clause).
+    Stage a has no components — deltas is empty and the key is mean-only."""
+    mean = float(np.mean(list(vals.values())))
+    if not deltas:
+        return (0.0, mean)
+    crit = float(np.mean([min(d + MARGIN, 0.0) for d in deltas.values()]))
+    return (round(crit, 4), round(mean, 3))
+
+
+best_key = (-float("inf"), -float("inf"))
 # restarts must not clobber a better best-checkpoint from a previous attempt
 if os.path.exists(log_path):
     with open(log_path) as f:
@@ -310,7 +392,10 @@ if os.path.exists(log_path):
             except ValueError:
                 continue
             if "probe_mean" in r:
-                best_mean = max(best_mean, r["probe_mean"])
+                # pre-r5 records carry no probe_crit; rank them mean-only
+                # below any criterion-scored record of equal mean
+                k = (r.get("probe_crit", -999.0), r["probe_mean"])
+                best_key = max(best_key, k)
 nonfinite_windows = 0
 last_window_finite = True  # gate on checkpoint writes
 for k, batch in enumerate(batches):
@@ -343,15 +428,26 @@ for k, batch in enumerate(batches):
         else:
             nonfinite_windows = 0
     if (i + 1) % args.probe_every == 0:
-        vals = run_probe(state)
-        mean = float(np.mean(list(vals.values())))
-        log({"step": i + 1, "probe": vals, "probe_mean": round(mean, 3)})
-        print(f"probe @{i+1}: mean {mean:.2f} {vals}", flush=True)
-        if mean > best_mean and last_window_finite:
-            best_mean = mean
+        vals, deltas = run_probe(state)
+        key = probe_key(vals, deltas)
+        rec = {"step": i + 1, "probe": vals, "probe_mean": key[1]}
+        msg = f"probe @{i+1}: mean {key[1]:.2f}"
+        if deltas:
+            rec["delta_vs_best"] = deltas
+            rec["probe_crit"] = key[0]
+            msg += f" crit {key[0]:+.3f} delta {deltas}"
+        log(rec)
+        print(f"{msg} {vals}", flush=True)
+        if key > best_key and last_window_finite:
+            best_key = key
             save(state, "best")
             save_state(state, "best")
-            log({"step": i + 1, "best_mean": round(mean, 3)})
+            log({"step": i + 1, "best_key": list(key)})
+    if (args.spot_every and args.stage == "b"
+            and (i + 1) % args.spot_every == 0):
+        svals, sdeltas = run_spot(state)
+        log({"step": i + 1, "spot": svals, "spot_delta": sdeltas})
+        print(f"spot512 @{i+1}: {svals} delta {sdeltas}", flush=True)
     if (i + 1) % args.save_every == 0 and last_window_finite:
         # NEVER checkpoint during a non-finite era: the r3 restart loop was
         # caused by state_latest being saved after poisoning, making every
@@ -363,6 +459,11 @@ if last_window_finite:
     save(state, "latest")
     save_state(state)
 save(state, "final")
-vals = run_probe(state)
-log({"step": args.steps, "probe": vals, "final": True})
-print(f"FINAL probe: {vals}", flush=True)
+vals, deltas = run_probe(state)
+rec = {"step": args.steps, "probe": vals, "final": True}
+if deltas:
+    rec["delta_vs_best"] = deltas
+    rec["probe_crit"] = probe_key(vals, deltas)[0]
+log(rec)
+print(f"FINAL probe: {vals}" + (f" delta {deltas}" if deltas else ""),
+      flush=True)
