@@ -127,6 +127,13 @@ def probe_triplets(s=256):
     out["occl"] = (v[0], v[1], v[2])
     v = synth.brightness_video(3, s, s, step=2.0, seed=9007)
     out["bright"] = (v[0], v[1], v[2])
+    # LATE-ramp brightness triplet: the r5 leg-B eval regressed brightness
+    # 6.5 dB while every ramp-START probe (incl. the 512^2 spot) stayed
+    # within margin — the failure lives at large absolute luminance
+    # offsets, which the eval's 12-frame ramps reach and 3-frame probes
+    # never did.  Same generator as the eval sets, held-out seed.
+    v = synth.brightness_video(11, s, s, step=2.0, seed=9009)
+    out["bright_late"] = (v[8], v[9], v[10])
     v = synth.translation_video(3, s, s, step=1.0, seed=9008)
     out["step1"] = (v[0], v[1], v[2])
     # the natural-statistics set IS in the dominance criterion (the r4 photo
@@ -145,6 +152,8 @@ def spot_triplets(s=512):
     out = {}
     v = synth.brightness_video(3, s, s, step=2.0, seed=9107)
     out["bright512"] = (v[0], v[1], v[2])
+    v = synth.brightness_video(11, s, s, step=2.0, seed=9109)
+    out["bright512_late"] = (v[8], v[9], v[10])
     v = synth.translation_video(3, s, s, step=1.0, seed=9108)
     out["step1_512"] = (v[0], v[1], v[2])
     v = synth.photo_video(3, s, s, seed=9111)
@@ -383,15 +392,19 @@ def probe_key(vals, deltas):
 
 
 best_key = (-float("inf"), -float("inf"))
-# restarts must not clobber a better best-checkpoint from a previous attempt
+# restarts must not clobber a better best-checkpoint from a previous attempt.
+# Only records probing the SAME regime set are comparable: when a probe
+# regime is added (e.g. bright_late in r5), the mean shifts by construction
+# and an old-bar comparison would freeze fusion_best for the whole leg.
 if os.path.exists(log_path):
+    probe_keyset = set(PROBES)
     with open(log_path) as f:
         for line in f:
             try:
                 r = json.loads(line)
             except ValueError:
                 continue
-            if "probe_mean" in r:
+            if "probe_mean" in r and set(r.get("probe", ())) == probe_keyset:
                 # pre-r5 records carry no probe_crit; rank them mean-only
                 # below any criterion-scored record of equal mean
                 k = (r.get("probe_crit", -999.0), r["probe_mean"])
