@@ -127,12 +127,16 @@ def probe_triplets(s=256):
     out["occl"] = (v[0], v[1], v[2])
     v = synth.brightness_video(3, s, s, step=2.0, seed=9007)
     out["bright"] = (v[0], v[1], v[2])
-    # LATE-ramp brightness triplet: the r5 leg-B eval regressed brightness
-    # 6.5 dB while every ramp-START probe (incl. the 512^2 spot) stayed
-    # within margin — the failure lives at large absolute luminance
-    # offsets, which the eval's 12-frame ramps reach and 3-frame probes
-    # never did.  Same generator as the eval sets, held-out seed.
+    # MID- and LATE-ramp brightness triplets: the r5 leg-B eval regressed
+    # brightness 6.5 dB while every ramp-START probe (incl. the 512^2
+    # spot) stayed within margin.  The per-triplet curves
+    # (results_r5/result_brightness@s0_*) localize the failure to the
+    # MIDDLE of the 0.93^t ramp (t=3-6, gain ~0.65-0.8), where AdaCoF is
+    # still at ~47 dB but the gate stops selecting it (~25 dB); at the
+    # ramp tail both components are weak and fusion WINS.  Same generator
+    # as the eval sets, held-out seeds.
     v = synth.brightness_video(11, s, s, step=2.0, seed=9009)
+    out["bright_mid"] = (v[3], v[4], v[5])
     out["bright_late"] = (v[8], v[9], v[10])
     v = synth.translation_video(3, s, s, step=1.0, seed=9008)
     out["step1"] = (v[0], v[1], v[2])
@@ -153,6 +157,7 @@ def spot_triplets(s=512):
     v = synth.brightness_video(3, s, s, step=2.0, seed=9107)
     out["bright512"] = (v[0], v[1], v[2])
     v = synth.brightness_video(11, s, s, step=2.0, seed=9109)
+    out["bright512_mid"] = (v[3], v[4], v[5])
     out["bright512_late"] = (v[8], v[9], v[10])
     v = synth.translation_video(3, s, s, step=1.0, seed=9108)
     out["step1_512"] = (v[0], v[1], v[2])
