@@ -165,6 +165,8 @@ class MixedSynthStream:
             k = i % 6
             if rng.random() < photo_frac:
                 v = gen_photo(i, rng, k)
+                if k == 5:  # same absolute-gain coverage as the synthetic
+                    v = v * rng.uniform(0.55, 1.0)  # brightness branch below
                 self._items[i] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
                 return
             angle = rng.uniform(0, 2 * np.pi)
@@ -215,6 +217,13 @@ class MixedSynthStream:
                     gain_per_frame=rng.uniform(0.88, 0.97),
                     seed=seed0 + i,
                 )
+                # random ABSOLUTE starting gain: the eval's 12-frame 0.93^t
+                # ramps score triplets down to ~0.5x absolute luminance, but
+                # a fresh 3-frame ramp never leaves [0.77, 1] — mid-ramp
+                # states were out of the training support, which is exactly
+                # where the leg-B gate collapsed (results_r5 brightness
+                # per-triplet curves: ~25 dB vs AdaCoF's 47 at gain ~0.7)
+                v = v * rng.uniform(0.55, 1.0)
             self._items[i] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
         if photo_frac > 0.0:

@@ -169,12 +169,14 @@ print(f"[{args.stage}] generating {args.pool}-scene mixed stream...", flush=True
 t0 = time.time()
 # v2: large-motion regime magnitude fix in MixedSynthStream (dx no longer
 # scaled by cos(angle)) — a v1 pool must not be reused
+# v3: brightness scenes get a random ABSOLUTE starting gain (0.55-1.0) so
+# the eval's mid-ramp luminance states are inside the training support
 size_tag = (
     "" if (args.pool_h, args.pool_w) == (288, 448)
     else f"_{args.pool_h}x{args.pool_w}"
 )
 photo_tag = f"_p{args.photo_frac:g}" if args.photo_frac > 0 else ""
-cache = os.path.join(args.out, f"pool_{args.pool}{size_tag}{photo_tag}_v2.npy")
+cache = os.path.join(args.out, f"pool_{args.pool}{size_tag}{photo_tag}_v3.npy")
 if os.path.exists(cache):
     ds = MixedSynthStream.__new__(MixedSynthStream)
     ds._items = list(np.load(cache))
