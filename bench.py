@@ -100,6 +100,9 @@ def main():
 
     frames = translation_video(2, h, w, step=3.0)
     weights = _fusion_weights(h, w)
+    from fmvfi_tpu.models.fusion_net import infer_variant
+
+    variant = infer_variant(weights.fusion_net)  # promoted ckpt may be v2
     bs = args.bs
     filters = jax.tree.map(jnp.asarray, make_filters(h, w, max_pyr_height(h, w)))
 
@@ -116,7 +119,7 @@ def main():
         # so the pyramid bands never materialize at a jit boundary
         jscan = jax.jit(
             lambda wts, flt, c, fw: fusion_stream_scan(
-                wts, c, fw, filters=flt, compute_dtype=cdt
+                wts, c, fw, filters=flt, compute_dtype=cdt, variant=variant
             ),
             donate_argnums=(2,),
         )
@@ -148,7 +151,7 @@ def main():
         raw = jax.jit(
             lambda a, b: fusion_interpolate(
                 weights, a, b, filters=filters, compute_dtype=cdt,
-                seq_chunk=args.seq_chunk,
+                seq_chunk=args.seq_chunk, variant=variant,
             )
         )
     elif args.pipeline == "phase":

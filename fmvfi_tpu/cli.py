@@ -87,25 +87,34 @@ def _load_weights(args, h, w):
     # Resolve the FusionNet mode, auto-detected from the checkpoint name the
     # way the reference publishes them (fusion_net_phase.pt = variant 1,
     # fusion_net_nouncertainty.pt = uncertainty_maps 0; fusion_net.py:69-77,
-    # fusion_net/train.py:79).  Explicit flags override.
+    # fusion_net/train.py:79).  msgpack checkpoints are detected from the
+    # tree SHAPE instead (promotion places whatever variant won the
+    # campaign at the default path).  Explicit flags override.
     name = os.path.basename(fusion_ckpt)
-    if getattr(args, "fusion_variant", -1) < 0:
-        args.fusion_variant = (
-            2 if "blend" in name else 1 if "phase" in name else 0
-        )
     if getattr(args, "fusion_maps", -1) < 0:
         args.fusion_maps = 0 if "nouncertainty" in name else 3
+    explicit_variant = getattr(args, "fusion_variant", -1)
+    if explicit_variant < 0 and not fusion_ckpt.endswith(".msgpack"):
+        explicit_variant = 1 if "phase" in name else 0
+    fusion_vars = None
+    if need_fusion:
+        fusion_vars = load_fusion_weights(
+            fusion_ckpt, uncertainty_maps=args.fusion_maps,
+            variant=None if explicit_variant < 0 else explicit_variant,
+        )
+    if getattr(args, "fusion_variant", -1) < 0:
+        if explicit_variant >= 0 or fusion_vars is None:
+            args.fusion_variant = max(explicit_variant, 0)
+        else:
+            from .models.fusion_net import infer_variant
+
+            args.fusion_variant = infer_variant(fusion_vars)
     return FusionWeights(
         phase_net=(
             phase_net_from_torch(args.phase_checkpoint) if need_phase else None
         ),
         adacof=ada,
-        fusion_net=(
-            load_fusion_weights(fusion_ckpt, uncertainty_maps=args.fusion_maps,
-                                variant=args.fusion_variant)
-            if need_fusion
-            else None
-        ),
+        fusion_net=fusion_vars,
     )
 
 

@@ -36,6 +36,18 @@ import jax.numpy as jnp
 from ..ops.resize import max_pool2, upsample2x
 
 
+def infer_variant(fusion_vars) -> int:
+    """Head variant encoded in a loaded parameter tree: the variant-2
+    gated-blend head's final 1x1 conv emits 6 channels (3 selection logits
+    + 3 residual) vs 3 for variants 0/1 (which share a tree shape — the
+    published fusion_net_phase.pt must still be selected by name/flag).
+    Consumers that accept arbitrary checkpoints (CLI defaults, bench,
+    driver entry) must use this rather than assume variant 0: promotion
+    can legitimately place a variant-2 tree at the default path."""
+    p = fusion_vars.get("params", fusion_vars)
+    return 2 if p["dec2"]["kernel"].shape[-1] == 6 else 0
+
+
 def _rconv(x, c_out, k, name, dtype=None, kernel_init=None):
     pad = k // 2
     if pad:

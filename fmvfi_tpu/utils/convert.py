@@ -155,10 +155,12 @@ def adacof_from_torch(path_or_sd) -> Dict[str, Any]:
 
 
 def load_fusion_weights(path: str, uncertainty_maps: int = 3,
-                        variant: int = 0):
+                        variant=None):
     """Load FusionNet weights from fusion_net*.pt OR an fmvfi msgpack file.
     `variant` shapes the template head (variant 2's final 1x1 conv emits 6
-    channels instead of 3)."""
+    channels instead of 3); None (the default) auto-detects it from the
+    msgpack content — necessary because promotion places whatever variant
+    won the campaign at the default checkpoint path."""
     if path.endswith(".msgpack"):
         import jax
         import jax.numpy as jnp
@@ -166,6 +168,14 @@ def load_fusion_weights(path: str, uncertainty_maps: int = 3,
         from ..models.fusion_net import FusionNet
         from .checkpoint import load_msgpack
 
+        if variant is None:
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            from ..models.fusion_net import infer_variant
+
+            variant = infer_variant(raw)
         z = jnp.zeros((1, 64, 64, 3))
         template = FusionNet(uncertainty_maps=uncertainty_maps).init(
             jax.random.key(0), z, z, z, jnp.zeros((1, 64, 64, 6)),

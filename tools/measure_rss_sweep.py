@@ -66,8 +66,11 @@ from __graft_entry__ import _fusion_weights
 from fmvfi_tpu.eval.evaluate import evaluate_frames, load_set
 
 weights = _fusion_weights(h, w)
+from fmvfi_tpu.models.fusion_net import infer_variant  # noqa: E402
+
 stream_src = load_set(args.clip, stream=True)
-res = evaluate_frames(stream_src(), weights, method="fusion", dim=min(h, w))
+res = evaluate_frames(stream_src(), weights, method="fusion", dim=min(h, w),
+                      variant=infer_variant(weights.fusion_net))
 
 peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 result = {
